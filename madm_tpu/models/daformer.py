@@ -1,0 +1,139 @@
+"""DAFormer decode head in Flax NHWC (reference: ``modeling/sem_seg_head/daformer_head.py``).
+
+Architecture (as configured by the shipped MADM configs —
+``config_files/common/models/mtmadise_multi_lora.py:42-63``):
+
+  per-scale Dense embed (-> 256) -> bilinear upsample to the largest scale ->
+  concat -> depthwise-separable ASPP fusion (dilations 1/6/12/18, BN+ReLU) ->
+  3x3 bottleneck conv -> dropout -> 1x1 conv_seg.
+
+BatchNorm note: the reference uses per-GPU local BN (DDP with
+``broadcast_buffers=False`` — ``config_files/common/train.py:11-12``); we use
+flax BatchNorm with a ``batch_stats`` collection, updated per-device without
+cross-device sync, which matches that semantics under data parallelism.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def resize_bilinear(x: jax.Array, size) -> jax.Array:
+    """align_corners=False bilinear resize (torch F.interpolate semantics)."""
+    b, h, w, c = x.shape
+    if (h, w) == tuple(size):
+        return x
+    return jax.image.resize(x, (b, size[0], size[1], c), method="bilinear")
+
+
+class ConvModule(nn.Module):
+    """mmcv ConvModule: conv -> BN -> ReLU (bias off under norm)."""
+
+    out_channels: int
+    kernel_size: int = 1
+    dilation: int = 1
+    depthwise: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        pad = self.dilation * (self.kernel_size // 2)
+        x = nn.Conv(
+            x.shape[-1] if self.depthwise else self.out_channels,
+            (self.kernel_size, self.kernel_size),
+            kernel_dilation=(self.dilation, self.dilation),
+            padding=((pad, pad), (pad, pad)),
+            feature_group_count=x.shape[-1] if self.depthwise else 1,
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="bn",
+        )(x)
+        return nn.relu(x)
+
+
+class DepthwiseSeparableConvModule(nn.Module):
+    """mmcv DepthwiseSeparableConvModule: depthwise(k3, dil) + pointwise."""
+
+    out_channels: int
+    dilation: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = ConvModule(x.shape[-1], 3, dilation=self.dilation, depthwise=True,
+                       dtype=self.dtype, name="depthwise_conv")(x, train)
+        x = ConvModule(self.out_channels, 1, dtype=self.dtype, name="pointwise_conv")(x, train)
+        return x
+
+
+class ASPPWrapper(nn.Module):
+    """Separable ASPP fusion (``daformer_head.py:414-479``, sep=True, pool=False)."""
+
+    channels: int
+    dilations: Sequence[int] = (1, 6, 12, 18)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        outs = []
+        for i, d in enumerate(self.dilations):
+            if d == 1:
+                outs.append(ConvModule(self.channels, 1, dtype=self.dtype,
+                                       name=f"aspp_{i}")(x, train))
+            else:
+                outs.append(DepthwiseSeparableConvModule(self.channels, d, dtype=self.dtype,
+                                                         name=f"aspp_{i}")(x, train))
+        x = jnp.concatenate(outs, axis=-1)
+        return ConvModule(self.channels, 3, dtype=self.dtype, name="bottleneck")(x, train)
+
+
+class DAFormerHead(nn.Module):
+    """DAFormer decode head; logits at the resolution of the largest input.
+
+    __call__ expects the projected feature dict from MultiScaleProjection.
+    ``in_keys`` orders the scales (largest first); with MADM's trained config
+    the largest is the stride-1 VAE-decoder feature, so logits are full-res.
+    """
+
+    in_keys: Sequence[str]  # e.g. ('s0', 's3', 's4', 's5')
+    num_classes: int
+    channels: int = 256
+    embed_dims: int = 256
+    dilations: Sequence[int] = (1, 6, 12, 18)
+    dropout_ratio: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        features: Dict[str, jax.Array],
+        train: bool = False,
+        dropout_rng: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        xs = [features[k] for k in self.in_keys]
+        os_size = xs[0].shape[1:3]
+        embeds = []
+        for i, x in enumerate(xs):
+            e = nn.Dense(self.embed_dims, dtype=self.dtype, name=f"embed_{i}")(x)
+            embeds.append(resize_bilinear(e, os_size))
+        x = jnp.concatenate(embeds, axis=-1)
+        x = ASPPWrapper(self.channels, self.dilations, dtype=self.dtype, name="fuse_layer")(x, train)
+        if train and self.dropout_ratio > 0:
+            # Dropout2d: drop whole channels (torch nn.Dropout2d semantics)
+            x = nn.Dropout(
+                self.dropout_ratio, broadcast_dims=(1, 2), deterministic=False,
+                rng_collection="dropout", name="dropout",
+            )(x)
+        x = nn.Conv(
+            self.num_classes, (1, 1), dtype=self.dtype,
+            kernel_init=nn.initializers.normal(0.01), name="conv_seg",
+        )(x)
+        return x

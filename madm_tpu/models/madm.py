@@ -1,0 +1,348 @@
+"""MADM meta-architecture: diffusion feature extractor + DAFormer head.
+
+TPU-native re-composition of the reference's model stack
+(``MTMADISE ⊃ AttentionFeatureExtractorBackbone ⊃ BasePromptTimeGenerator ⊃
+LdmDiffusers`` — ``modeling/meta_arch/mtmadise.py``, ``ldm_diffusers.py``,
+``feature_extractor.py``).  Instead of nested mutable nn.Modules with runtime
+adapter switching, the model is:
+
+- a static ``MADMConfig``;
+- one parameter pytree (``init_params``) whose subtrees mirror the reference's
+  trainable groups (unet, lora adapters, prompt embeddings, projections, head)
+  plus frozen VAE weights and constants;
+- pure apply functions: ``backbone_forward`` (VAE-encode -> add_noise ->
+  UNet-with-taps -> VAE-decode -> per-scale projections) and ``head_forward``.
+
+Branching that the reference does by mutating modules (LoRA adapter choice,
+EMA-vs-student, rgb-vs-others prompt) is a *pytree selection in the caller*
+here, so every variant is one straight-line XLA program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import prompt as prompt_lib
+from .daformer import DAFormerHead, resize_bilinear
+from .projections import MultiScaleProjection
+from .sd import (
+    UNet2DCondition,
+    VAEDecoder,
+    VAEEncoder,
+    add_noise,
+    init_lora,
+    merge_lora,
+    parse_lora_configs,
+    shared_noise,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class MADMConfig:
+    """Static model configuration (mirrors the trained MADM configs)."""
+
+    num_classes: int = 11
+    target_modality: str = "Depth"
+    # backbone taps / projections (…depth_11.py:50-55)
+    unet_block_indices: Tuple[int, ...] = (5, 8, 11)
+    unet_block_indices_type: str = "after"
+    out_features: Tuple[str, ...] = ("s0", "s3", "s4", "s5")
+    feature_dims: Tuple[int, ...] = (3, 320, 640, 1280)
+    projection_dim: Tuple[int, ...] = (128, 512, 512, 512)
+    in_keys: Tuple[str, ...] = ("s0", "s3", "s4", "s5")
+    head_channels: int = 256
+    # conditioning
+    same_cond_params: bool = True
+    # vae decoder regression (vae_decoder_loss 'st')
+    vae_decoder_loss: str = "st"
+    # lora
+    lora_configs: Tuple[str, ...] = ()
+    # precision
+    compute_dtype: Any = jnp.bfloat16
+    # width overrides (full SD-v1.4 by default; shrink for CPU tests)
+    unet_channels: Optional[Tuple[int, ...]] = None
+    vae_channels: Optional[Tuple[int, ...]] = None
+    # uda
+    ema_alpha: float = 0.999
+    pseudo_threshold: float = 0.968
+    train_palette: Tuple[int, ...] = ()
+    # input size
+    crop_size: Tuple[int, int] = (512, 512)
+
+    @property
+    def latent_size(self) -> Tuple[int, int]:
+        return (self.crop_size[0] // 8, self.crop_size[1] // 8)
+
+    @property
+    def use_s0(self) -> bool:
+        return "s0" in self.out_features
+
+
+class MADM:
+    """Module container + pure apply functions for the MADM model."""
+
+    def __init__(self, config: MADMConfig):
+        self.cfg = config
+        dt = config.compute_dtype
+        from .sd import unet as unet_lib, vae as vae_lib
+
+        vae_ch = config.vae_channels or vae_lib.BLOCK_OUT_CHANNELS
+        unet_ch = config.unet_channels or unet_lib.BLOCK_OUT_CHANNELS
+        self.vae_encoder = VAEEncoder(block_out_channels=vae_ch, dtype=dt)
+        self.vae_decoder = VAEDecoder(block_out_channels=vae_ch, dtype=dt)
+        self.unet = UNet2DCondition(
+            unet_block_indices=config.unet_block_indices,
+            unet_block_indices_type=config.unet_block_indices_type,
+            block_out_channels=unet_ch,
+            dtype=dt,
+        )
+        self.projections = MultiScaleProjection(
+            feature_dims=config.feature_dims,
+            projection_dim=config.projection_dim,
+            out_features=config.out_features,
+            dtype=dt,
+        )
+        self.head = DAFormerHead(
+            in_keys=config.in_keys,
+            num_classes=config.num_classes,
+            channels=config.head_channels,
+            dtype=dt,
+        )
+        self.lora_specs = parse_lora_configs(config.lora_configs)
+
+        # static validation: declared feature_dims must match the UNet's tap
+        # channels (taps arrive smallest-res first; feature_dims is ordered
+        # largest-res first, after the optional s0 decoder feature)
+        tap_dims = [self._tap_channels(unet_ch, i) for i in config.unet_block_indices]
+        expected = ([3] if config.use_s0 else []) + list(reversed(tap_dims))
+        if list(config.feature_dims) != expected:
+            raise ValueError(
+                f"feature_dims {tuple(config.feature_dims)} does not match the "
+                f"backbone's tap channels {tuple(expected)} "
+                f"(unet_block_indices={tuple(config.unet_block_indices)}, "
+                f"use_s0={config.use_s0})"
+            )
+
+    @staticmethod
+    def _tap_channels(unet_ch, tap_index: int) -> int:
+        """Output channels of up-block resnet ``tap_index`` ('after' taps)."""
+        up_channels = tuple(reversed(unet_ch))
+        return up_channels[tap_index // 3]
+
+    # ------------------------------------------------------------------ init
+    def init_params(self, rng: jax.Array | int = 0) -> Dict[str, Any]:
+        """Build the full parameter pytree (random init; real SD weights come
+        from the checkpoint converter)."""
+        if isinstance(rng, int):
+            rng = jax.random.PRNGKey(rng)
+        keys = jax.random.split(rng, 8)
+        h, w = self.cfg.crop_size
+        lh, lw = self.cfg.latent_size
+        img = jnp.zeros((1, h, w, 3), jnp.float32)
+        lat = jnp.zeros((1, lh, lw, 4), jnp.float32)
+        ctx = jnp.zeros((1, 77, 768), jnp.float32)
+        ts = jnp.zeros((1,), jnp.int32)
+
+        # jit each sub-init separately: smaller XLA compiles, better caching
+        vae_enc = jax.jit(self.vae_encoder.init)(keys[0], img)["params"]
+        vae_dec = jax.jit(self.vae_decoder.init)(keys[1], lat)["params"]
+        unet = jax.jit(self.unet.init)(keys[2], lat, ts, ctx)["params"]
+
+        feats = [
+            jnp.zeros((1, h // s, w // s, c), jnp.float32)
+            for s, c in zip(self._strides(), self.cfg.feature_dims)
+        ]
+        proj_vars = jax.jit(self.projections.init)(keys[3], feats)
+        proj = proj_vars["params"]
+        head_in = {
+            k: jnp.zeros((1, h // s, w // s, d), jnp.float32)
+            for k, s, d in zip(self.cfg.in_keys, self._strides(), self.cfg.projection_dim)
+        }
+        head_vars = jax.jit(self.head.init)(keys[4], head_in)
+        head, head_bn = head_vars["params"], head_vars.get("batch_stats", {})
+
+        prompt = prompt_lib.init_prompt_generator(
+            keys[5],
+            same_cond_params=self.cfg.same_cond_params,
+            time_embed_dim=self.unet.block_out_channels[0] * 4,
+        )
+        lora = {
+            name: init_lora(unet, spec["rank"], spec["alpha"], rng=keys[6])
+            for name, spec in self.lora_specs.items()
+        }
+
+        params = {
+            "vae_encoder": vae_enc,
+            "vae_decoder": vae_dec,
+            "unet": unet,
+            "lora": lora,
+            "prompt": prompt,
+            "projections": proj,
+            "head": head,
+        }
+        state = {"head_bn": head_bn, "ema_head_bn": jax.tree.map(jnp.copy, head_bn)}
+        ema = self.init_ema(params)
+        consts = {
+            "uncond_inputs": jnp.zeros((1, 77, 768), jnp.float32),
+            "shared_noise": jnp.asarray(shared_noise(lh, lw)),
+        }
+        return {"params": params, "ema": ema, "state": state, "consts": consts}
+
+    def init_ema(self, params: Dict[str, Any]) -> Dict[str, Any]:
+        """Teacher copies of projections / head / prompt-others
+        (reference ``cmdise.py:307-325``)."""
+        others_key = (
+            "clip_project_rgb" if self.cfg.same_cond_params else "clip_project_others"
+        )
+        return jax.tree.map(
+            jnp.copy,
+            {
+                "projections": params["projections"],
+                "head": params["head"],
+                "clip_project_others": params["prompt"][others_key],
+            },
+        )
+
+    def _strides(self) -> Tuple[int, ...]:
+        return tuple(2 ** int(name[1]) for name in self.cfg.out_features)
+
+    # ------------------------------------------------------- conditioning
+    def conditioning(
+        self,
+        variables: Dict[str, Any],
+        input_modal: str,
+        ema_forward: bool = False,
+        batch_size: int = 1,
+    ) -> Tuple[jax.Array, Optional[jax.Array]]:
+        """cond prompt [B,77,768] + residual time embedding [B,1280] | None.
+
+        (reference ``ldm_base.py:832-924``: rgb -> clip_project_rgb, others/
+        mixed -> clip_project_others, teacher -> ema_clip_project_others.)"""
+        uncond = variables["consts"]["uncond_inputs"]
+        if ema_forward:
+            p = variables["ema"]["clip_project_others"]
+        else:
+            p = prompt_lib.select_domain_params(
+                variables["params"]["prompt"], input_modal, self.cfg.same_cond_params
+            )
+        cp = prompt_lib.cond_prompt(p, uncond)
+        ct = prompt_lib.cond_time(p)
+        cp = jnp.broadcast_to(cp, (batch_size,) + cp.shape[1:])
+        if ct is not None:
+            ct = jnp.broadcast_to(ct, (batch_size,) + ct.shape[1:])
+        return cp, ct
+
+    # ---------------------------------------------------------- backbone
+    def backbone_forward(
+        self,
+        variables: Dict[str, Any],
+        images: jax.Array,  # [B, H, W, 3] in [0, 1]
+        *,
+        input_modal: str = "rgb",
+        lora_name: Optional[str] = None,
+        ema_forward: bool = False,
+        timesteps: Optional[jax.Array] = None,  # [B] int32, defaults to 0
+        want_decoder_output: bool = False,
+        train: bool = False,
+    ) -> Dict[str, Any]:
+        """One diffusion feature pass.
+
+        Returns dict with:
+          ``output_features``: {name: NHWC} projected features for the head
+          ``before_vae_decoder`` / ``after_vae_decoder`` when requested
+          (reference return contract: ``ldm_diffusers.py:191-217`` +
+          ``feature_extractor.py:367-396``).
+        """
+        cfg = self.cfg
+        params = variables["params"]
+        b = images.shape[0]
+
+        # normalize to [-1, 1] (ldm_diffusers.py:144-147, input_range '-1+1')
+        x = images * 2.0 - 1.0
+
+        latents, _ = self.vae_encoder.apply({"params": params["vae_encoder"]}, x)
+        latents = jax.lax.stop_gradient(latents)  # VAE frozen + no_grad
+
+        if timesteps is None:
+            timesteps = jnp.zeros((b,), jnp.int32)
+        noise = jnp.broadcast_to(variables["consts"]["shared_noise"], latents.shape)
+        noisy = add_noise(latents, noise.astype(latents.dtype), timesteps)
+
+        cond_prompt, cond_time = self.conditioning(
+            variables, input_modal, ema_forward, batch_size=b
+        )
+
+        unet_params = params["unet"]
+        if lora_name is not None and lora_name in params["lora"]:
+            unet_params = merge_lora(unet_params, params["lora"][lora_name])
+
+        eps, taps = self.unet.apply(
+            {"params": unet_params}, noisy, timesteps, cond_prompt, cond_time
+        )
+
+        out: Dict[str, Any] = {}
+        feats: list = []
+        if cfg.use_s0:
+            assert cfg.vae_decoder_loss is not None
+            dec_rgb, _ = self.vae_decoder.apply({"params": params["vae_decoder"]}, eps)
+            out["before_vae_decoder"] = eps
+            out["after_vae_decoder"] = jnp.clip(dec_rgb, -1.0, 1.0)
+            feats.append(jax.lax.stop_gradient(dec_rgb))  # s0 detached (ldm_diffusers.py:197)
+
+        # taps arrive [idx5@H/32, idx8@H/16, idx11@H/8]; projection order is
+        # largest-resolution first -> reverse (feature_extractor.py:371-385)
+        feats.extend(reversed(taps))
+
+        proj_params = (
+            variables["ema"]["projections"] if ema_forward else params["projections"]
+        )
+        out["output_features"] = self.projections.apply({"params": proj_params}, feats)
+        return out
+
+    # --------------------------------------------------------------- head
+    def head_forward(
+        self,
+        variables: Dict[str, Any],
+        features: Dict[str, jax.Array],
+        *,
+        ema_forward: bool = False,
+        train: bool = False,
+        dropout_rng: Optional[jax.Array] = None,
+        update_bn: bool = False,
+    ):
+        """DAFormer head; returns logits [B, h, w, C] (+ new BN stats if
+        ``update_bn``)."""
+        p = variables["ema"]["head"] if ema_forward else variables["params"]["head"]
+        bn = variables["state"]["ema_head_bn" if ema_forward else "head_bn"]
+        var_in = {"params": p, "batch_stats": bn}
+        rngs = {"dropout": dropout_rng} if (train and dropout_rng is not None) else {}
+        if update_bn and train:
+            logits, mut = self.head.apply(
+                var_in, features, train=True, rngs=rngs, mutable=["batch_stats"]
+            )
+            return logits, mut["batch_stats"]
+        logits = self.head.apply(var_in, features, train=train and bool(rngs), rngs=rngs)
+        return logits
+
+    # ----------------------------------------------------------- eval pass
+    def eval_forward(
+        self,
+        variables: Dict[str, Any],
+        images: jax.Array,  # [B, H, W, 3] in [0,1], H/W already sized
+        lora_name: Optional[str] = None,
+    ) -> jax.Array:
+        """Single-pass eval: backbone('others') -> head -> upsample to input.
+
+        (reference ``mtmadise.py:657-691``.)  Returns logits [B, H, W, C].
+        """
+        feats = self.backbone_forward(
+            variables, images, input_modal="others", lora_name=lora_name
+        )["output_features"]
+        logits = self.head_forward(variables, feats)
+        logits = resize_bilinear(logits.astype(jnp.float32), images.shape[1:3])
+        return logits

@@ -1,0 +1,107 @@
+"""Learnable prompt / time conditioning (reference: ``BasePromptTimeGenerator``).
+
+The trained MADM configs condition the UNet not on CLIP text but on *learned*
+constants (``modeling/meta_arch/ldm_base.py:632-717,720-968``):
+
+- ``prompt_embed``: a learnable [1, 77, 768] prompt tensor replacing the text
+  encoder output (``learnable_cond_prompt=True``, ``without_prompt_alpha`` as
+  configured; the shipped configs use the alpha-blended form
+  ``tanh(alpha_uncond) * uncond + tanh(alpha_cond) * prompt_embed``).
+- ``time_embed``: a learnable [1, 1, 1280] residual added to the UNet time
+  embedding, scaled by ``tanh(alpha_cond_time)``.
+
+There is one such parameter set per domain (``clip_project_rgb`` /
+``clip_project_others``); the shipped configs set ``same_cond_params=True``
+(``...depth_11.py:41``), sharing a single set.  The CLIP-image-prefix path
+(``clip_state != 'no'``) is intentionally deferred: trained configs use
+``clip_state='no'`` so no CLIP image encoder participates.
+
+TPU design: a plain parameter pytree + pure functions.  Domain selection is a
+pytree choice in the caller, never module state.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PROMPT_SEQ_LEN = 77
+PROMPT_DIM = 768
+TIME_EMBED_DIM = 1280
+
+
+def _trunc_normal(rng, shape, std=0.02):
+    # matches timm trunc_normal_: truncated at +-2 std
+    return std * jax.random.truncated_normal(rng, -2.0, 2.0, shape, jnp.float32)
+
+
+def init_clip_feature_project(
+    rng: jax.Array | int = 0,
+    learnable_cond_prompt: bool = True,
+    learnable_cond_time: bool = True,
+    without_prompt_alpha: bool = False,
+    num_timesteps: int = 1,
+    time_embed_dim: int = TIME_EMBED_DIM,
+) -> Dict[str, Any]:
+    """Initialize one ``ClipFeatureProject`` parameter set.
+
+    (reference init: ``ldm_base.py:645-673`` — prompt/time embeds
+    trunc-normal(0.02), alphas: cond/uncond prompt ~ U[0,1), time zeros)."""
+    if isinstance(rng, int):
+        rng = jax.random.PRNGKey(rng)
+    r1, r2, r3, r4 = jax.random.split(rng, 4)
+    p: Dict[str, Any] = {}
+    if learnable_cond_prompt:
+        p["prompt_embed"] = _trunc_normal(r1, (1, PROMPT_SEQ_LEN, PROMPT_DIM))
+        if not without_prompt_alpha:
+            p["alpha_cond_prompt"] = jax.random.uniform(r3, (1, PROMPT_SEQ_LEN, PROMPT_DIM))
+            p["alpha_uncond_prompt"] = jax.random.uniform(r4, (1, PROMPT_SEQ_LEN, PROMPT_DIM))
+    if learnable_cond_time:
+        p["time_embed"] = _trunc_normal(r2, (1, num_timesteps, time_embed_dim))
+        p["alpha_cond_time"] = jnp.zeros((time_embed_dim,), jnp.float32)
+    return p
+
+
+def cond_prompt(params: Dict[str, Any], uncond_prompt: jax.Array) -> jax.Array:
+    """[1, 77, 768] conditioning prompt (reference ``ldm_base.py:675-691``)."""
+    if "prompt_embed" not in params:
+        return uncond_prompt
+    if "alpha_cond_prompt" in params:
+        return (
+            jnp.tanh(params["alpha_uncond_prompt"]) * uncond_prompt
+            + jnp.tanh(params["alpha_cond_prompt"]) * params["prompt_embed"]
+        )
+    return params["prompt_embed"]
+
+
+def cond_time(params: Dict[str, Any]) -> Optional[jax.Array]:
+    """[1, 1, 1280] residual time embedding (reference ``ldm_base.py:703-712``)."""
+    if "time_embed" not in params:
+        return None
+    return jnp.tanh(params["alpha_cond_time"]) * params["time_embed"]
+
+
+def select_domain_params(prompt_params: Dict[str, Any], input_modal: str, same_cond_params: bool):
+    """Pick rgb vs others parameter set (reference ``ldm_base.py:877-887``)."""
+    if same_cond_params:
+        return prompt_params["clip_project_rgb"]
+    key = "clip_project_rgb" if input_modal == "rgb" else "clip_project_others"
+    return prompt_params[key]
+
+
+def init_prompt_generator(
+    rng: jax.Array | int = 0,
+    same_cond_params: bool = False,
+    **kwargs,
+) -> Dict[str, Any]:
+    """Full prompt-generator pytree: rgb + others (shared when configured)."""
+    if isinstance(rng, int):
+        rng = jax.random.PRNGKey(rng)
+    r1, r2 = jax.random.split(rng)
+    tree = {"clip_project_rgb": init_clip_feature_project(r1, **kwargs)}
+    if not same_cond_params:
+        tree["clip_project_others"] = init_clip_feature_project(r2, **kwargs)
+    return tree

@@ -1,0 +1,210 @@
+"""Shared Flax building blocks for the SD-v1.4 VAE and UNet.
+
+Original TPU-first implementation of the layer types the reference consumes
+from HuggingFace diffusers (``modeling/meta_arch/ldm_diffusers.py`` drives
+``AutoencoderKL`` / ``UNet2DConditionModel`` forward passes functionally).
+Everything here is NHWC (TPU conv layout) with a configurable compute dtype;
+parameter names intentionally mirror diffusers module names so torch
+checkpoints convert mechanically (see ``madm_tpu/checkpoint/converter.py``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...ops.attention import dot_product_attention
+
+
+def timestep_embedding(timesteps: jax.Array, dim: int, max_period: float = 10000.0) -> jax.Array:
+    """Sinusoidal timestep embedding, diffusers ``Timesteps`` semantics.
+
+    SD-v1.4 uses flip_sin_to_cos=True, freq_shift=0: output is [cos | sin].
+    ``timesteps``: [B] int/float -> [B, dim] float32.
+    """
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+class GroupNorm(nn.GroupNorm):
+    """GroupNorm with diffusers defaults (32 groups); NHWC, fp32 statistics."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: Optional[jnp.dtype] = None
+
+
+class TimestepEmbedding(nn.Module):
+    """two-layer MLP lifting the sinusoidal embedding to ``time_embed_dim``."""
+
+    time_embed_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t_emb: jax.Array) -> jax.Array:
+        x = nn.Dense(self.time_embed_dim, dtype=self.dtype, name="linear_1")(t_emb)
+        x = nn.silu(x)
+        x = nn.Dense(self.time_embed_dim, dtype=self.dtype, name="linear_2")(x)
+        return x
+
+
+class ResnetBlock2D(nn.Module):
+    """GN -> SiLU -> conv -> (+temb) -> GN -> SiLU -> conv, with shortcut.
+
+    diffusers ResnetBlock2D ("default" time scale-shift): the projected time
+    embedding is added as a per-channel bias after conv1.
+    """
+
+    out_channels: int
+    use_temb: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, temb: Optional[jax.Array] = None) -> jax.Array:
+        in_channels = x.shape[-1]
+        h = GroupNorm(name="norm1", dtype=self.dtype)(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv1")(h)
+        if self.use_temb and temb is not None:
+            t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
+            h = h + t[:, None, None, :]
+        h = GroupNorm(name="norm2", dtype=self.dtype)(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv2")(h)
+        if in_channels != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
+        return x + h
+
+
+class Downsample2D(nn.Module):
+    """stride-2 3x3 conv (diffusers Downsample2D with padding=1)."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.Conv(
+            self.out_channels, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+            dtype=self.dtype, name="conv",
+        )(x)
+
+
+class Upsample2D(nn.Module):
+    """2x nearest resize + 3x3 conv (diffusers Upsample2D)."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, out_size: Optional[tuple] = None) -> jax.Array:
+        b, h, w, c = x.shape
+        if out_size is None:
+            out_size = (h * 2, w * 2)
+        x = jax.image.resize(x, (b, out_size[0], out_size[1], c), method="nearest")
+        return nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv")(x)
+
+
+class Attention(nn.Module):
+    """Multi-head attention with optional cross-attention context and LoRA.
+
+    LoRA deltas (reference: peft adapters on to_q/to_k/to_v/to_out.0,
+    ``modeling/meta_arch/mtmadise.py:115-127``) are *not* parameters of this
+    module; they arrive pre-merged into the kernels by
+    ``madm_tpu.models.sd.lora.merge_lora`` so adapter switching is a pytree
+    selection, never module mutation.
+    """
+
+    num_heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+    attention_impl: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, context: Optional[jax.Array] = None) -> jax.Array:
+        # x: [B, S, C]; context: [B, Sk, Ck] or None (self-attention)
+        inner = self.num_heads * self.head_dim
+        ctx = x if context is None else context
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+
+        b, s, _ = q.shape
+        sk = k.shape[1]
+        q = q.reshape(b, s, self.num_heads, self.head_dim)
+        k = k.reshape(b, sk, self.num_heads, self.head_dim)
+        v = v.reshape(b, sk, self.num_heads, self.head_dim)
+        out = dot_product_attention(q, k, v, impl=self.attention_impl)
+        out = out.reshape(b, s, inner)
+        return nn.Dense(inner, dtype=self.dtype, name="to_out_0")(out)
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward (diffusers FeedForward with geglu activation)."""
+
+    dim: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        inner = self.dim * self.mult
+        h = nn.Dense(inner * 2, dtype=self.dtype, name="net_0_proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * nn.gelu(gate, approximate=False)
+        return nn.Dense(self.dim, dtype=self.dtype, name="net_2")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    """self-attn -> cross-attn -> GEGLU FF, pre-LayerNorm, residuals."""
+
+    num_heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+    attention_impl: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
+        attn = lambda name: Attention(
+            self.num_heads, self.head_dim, dtype=self.dtype,
+            attention_impl=self.attention_impl, name=name,
+        )
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
+        x = x + attn("attn1")(ln("norm1")(x))
+        x = x + attn("attn2")(ln("norm2")(x), context=context)
+        x = x + FeedForward(x.shape[-1], dtype=self.dtype, name="ff")(ln("norm3")(x))
+        return x
+
+
+class Transformer2DModel(nn.Module):
+    """Spatial transformer: GN -> 1x1 proj_in -> transformer block -> 1x1 proj_out + residual.
+
+    SD-v1.x uses conv (not linear) projections; in NHWC a 1x1 conv over
+    flattened tokens is exactly a Dense, which is what we use — the weight
+    converter squeezes the torch conv kernel accordingly.
+    """
+
+    num_heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+    attention_impl: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
+        b, h, w, c = x.shape
+        residual = x
+        x = GroupNorm(name="norm", epsilon=1e-6, dtype=self.dtype)(x)
+        x = x.reshape(b, h * w, c)
+        x = nn.Dense(self.num_heads * self.head_dim, dtype=self.dtype, name="proj_in")(x)
+        x = BasicTransformerBlock(
+            self.num_heads, self.head_dim, dtype=self.dtype,
+            attention_impl=self.attention_impl, name="transformer_blocks_0",
+        )(x, context)
+        x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
+        return x.reshape(b, h, w, c) + residual

@@ -1,0 +1,18 @@
+"""Test harness: force CPU with 8 virtual devices for multi-chip sharding tests.
+
+(SURVEY.md §4: multi-chip correctness is validated on a virtual CPU mesh via
+``--xla_force_host_platform_device_count``.)
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
