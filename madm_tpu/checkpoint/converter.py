@@ -1,0 +1,432 @@
+"""torch checkpoint -> JAX pytree converters.
+
+Covers the two checkpoint families the reference consumes (SURVEY.md §7):
+
+(a) HuggingFace SD-v1.4 snapshots (diffusers ``AutoencoderKL`` /
+    ``UNet2DConditionModel`` state dicts, .bin or .safetensors) -> the frozen
+    VAE + init UNet weights (``ldm_diffusers.py:246-266``).
+(b) Released MADM ``.pth`` files -> trainable subset + EMA copies
+    (``checkpoint/odise_checkpointer.py:45-102``: frozen SD/CLIP weights are
+    *excluded* from checkpoints and re-materialized from the snapshot; the
+    converter reproduces that reconciliation).
+
+Layout transforms (torch NCHW/OI -> flax NHWC/IO):
+    conv weight [O,I,kh,kw] -> kernel [kh,kw,I,O]   (also depthwise: I=1)
+    linear weight [O,I]     -> kernel [I,O]
+    norm weight/bias        -> scale/bias
+    1x1-conv proj_in/out    -> dense kernel (we run them as Dense on tokens)
+
+No torch import is required to *read* files: ``.safetensors`` is parsed
+directly; ``.bin``/``.pth`` fall back to ``torch.load`` (torch-cpu is
+available in this image).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import struct
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+# ---------------------------------------------------------------- file I/O
+
+_SAFETENSORS_DTYPES = {
+    "F64": np.float64, "F32": np.float32, "F16": np.float16,
+    "I64": np.int64, "I32": np.int32, "I16": np.int16, "I8": np.int8,
+    "U8": np.uint8, "BOOL": np.bool_,
+    # BF16 handled specially below
+}
+
+
+def load_safetensors(path: str) -> Dict[str, np.ndarray]:
+    """Minimal .safetensors reader (8-byte LE header length + JSON + data)."""
+    out = {}
+    with open(path, "rb") as f:
+        (hlen,) = struct.unpack("<Q", f.read(8))
+        header = json.loads(f.read(hlen))
+        data = f.read()
+    for name, meta in header.items():
+        if name == "__metadata__":
+            continue
+        start, stop = meta["data_offsets"]
+        raw = data[start:stop]
+        if meta["dtype"] == "BF16":
+            u16 = np.frombuffer(raw, np.uint16).astype(np.uint32) << 16
+            arr = u16.view(np.float32) if u16.flags.c_contiguous else u16.copy().view(np.float32)
+            arr = arr.astype(np.float32)
+        else:
+            arr = np.frombuffer(raw, _SAFETENSORS_DTYPES[meta["dtype"]])
+        out[name] = arr.reshape(meta["shape"])
+    return out
+
+
+def load_torch_file(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch state dict (.safetensors / .bin / .pth) as numpy."""
+    if path.endswith(".safetensors"):
+        return load_safetensors(path)
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    if isinstance(obj, dict) and "model" in obj and isinstance(obj["model"], dict):
+        obj = obj["model"]
+    return {
+        k: v.float().numpy() if hasattr(v, "numpy") else np.asarray(v)
+        for k, v in obj.items()
+        if hasattr(v, "shape")
+    }
+
+
+# ------------------------------------------------------------- name engine
+
+def _set(tree: Dict[str, Any], path: Tuple[str, ...], value: np.ndarray):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    if path[-1] in node:
+        raise ValueError(f"duplicate parameter at {'/'.join(path)}")
+    node[path[-1]] = value
+
+
+def _conv(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+def _dense(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.transpose(w))
+
+
+def _conv1x1_to_dense(w: np.ndarray) -> np.ndarray:
+    return _dense(w[:, :, 0, 0])
+
+
+_NORM_HINTS = ("norm", "bn", "group_norm", "layer_norm")
+
+
+def _leaf(torch_leaf: str, parent: str, w: np.ndarray):
+    """(flax leaf name, converted tensor)."""
+    is_norm = any(h in parent for h in _NORM_HINTS)
+    if torch_leaf == "weight":
+        if w.ndim == 4:
+            return "kernel", _conv(w)
+        if w.ndim == 2:
+            return "kernel", _dense(w)
+        return ("scale", w) if is_norm or w.ndim == 1 else ("kernel", w)
+    if torch_leaf == "bias":
+        return "bias", w
+    if torch_leaf == "running_mean":
+        return "mean", w
+    if torch_leaf == "running_var":
+        return "var", w
+    return torch_leaf, w
+
+
+def _merge_indices(tokens):
+    """['down_blocks','0','resnets','1'] -> ['down_blocks_0','resnets_1']."""
+    out = []
+    for t in tokens:
+        if re.fullmatch(r"\d+", t) and out:
+            out[-1] = f"{out[-1]}_{t}"
+        else:
+            out.append(t)
+    return out
+
+
+def _diffusers_rename(key: str) -> str:
+    key = key.replace(".ff.net.0.proj.", ".ff.net_0_proj.")
+    key = key.replace(".ff.net.2.", ".ff.net_2.")
+    key = key.replace(".to_out.0.", ".to_out_0.")
+    # legacy VAE attention naming -> modern
+    key = key.replace(".query.", ".to_q.").replace(".key.", ".to_k.")
+    key = key.replace(".value.", ".to_v.").replace(".proj_attn.", ".to_out_0.")
+    return key
+
+
+# ----------------------------------------------------------------- UNet
+
+def convert_unet_state(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """diffusers UNet2DConditionModel state dict -> flax UNet params."""
+    tree: Dict[str, Any] = {}
+    for key, w in sd.items():
+        key = _diffusers_rename(key)
+        tokens = _merge_indices(key.split("."))
+        *parents, leaf = tokens
+        parent = parents[-1] if parents else ""
+        # Transformer2D proj_in/proj_out are 1x1 convs in SD-v1.x; we run
+        # them as Dense over tokens
+        if parent in ("proj_in", "proj_out") and w.ndim == 4:
+            name, val = leaf, _conv1x1_to_dense(w) if leaf == "weight" else w
+            name = "kernel" if leaf == "weight" else "bias"
+        else:
+            name, val = _leaf(leaf, parent, w)
+        _set(tree, tuple(parents) + (name,), val)
+    return tree
+
+
+# ----------------------------------------------------------------- VAE
+
+def convert_vae_state(
+    sd: Dict[str, np.ndarray],
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """diffusers AutoencoderKL state dict -> (encoder params, decoder params).
+
+    Our Encoder flattens diffusers' ``encoder.down_blocks.N.resnets.M`` into a
+    single ``down_blocks_N_resnets_M`` module and owns ``quant_conv``;
+    Decoder likewise owns ``post_quant_conv``.
+    """
+    enc: Dict[str, Any] = {}
+    dec: Dict[str, Any] = {}
+    for key, w in sd.items():
+        key = _diffusers_rename(key)
+        if key.startswith("encoder."):
+            dest, rel = enc, key[len("encoder."):]
+        elif key.startswith("decoder."):
+            dest, rel = dec, key[len("decoder."):]
+        elif key.startswith("quant_conv."):
+            dest, rel = enc, key
+        elif key.startswith("post_quant_conv."):
+            dest, rel = dec, key
+        else:
+            continue
+        tokens = _merge_indices(rel.split("."))
+        *parents, leaf = tokens
+        # flatten block containers: down_blocks_N resnets_M -> one name;
+        # mid_block keeps its sub-structure
+        if parents and parents[0].startswith(("down_blocks_", "up_blocks_")):
+            parents = ["_".join(parents[:2])] + parents[2:]
+        parent = parents[-1] if parents else ""
+        name, val = _leaf(leaf, parent, w)
+        _set(dest, tuple(parents) + (name,), val)
+    return enc, dec
+
+
+def load_sd_snapshot(snapshot_dir: str):
+    """Load VAE + UNet from a HF SD-v1.4 snapshot directory.
+
+    Returns {'vae_encoder', 'vae_decoder', 'unet'} flax param trees.
+    (reference loads the same snapshot via from_pretrained —
+    ``ldm_diffusers.py:246-266``.)"""
+    def find(sub):
+        d = os.path.join(os.path.expanduser(snapshot_dir), sub)
+        for name in (
+            "diffusion_pytorch_model.safetensors",
+            "diffusion_pytorch_model.bin",
+        ):
+            p = os.path.join(d, name)
+            if os.path.exists(p):
+                return p
+        raise FileNotFoundError(f"no weights under {d}")
+
+    vae_sd = load_torch_file(find("vae"))
+    unet_sd = load_torch_file(find("unet"))
+    enc, dec = convert_vae_state(vae_sd)
+    return {
+        "vae_encoder": enc,
+        "vae_decoder": dec,
+        "unet": convert_unet_state(unet_sd),
+    }
+
+
+# ------------------------------------------------------------- MADM .pth
+
+_PROJ_LEAF_MAP = {
+    # d2 BottleneckBlock: convN(.norm) -> convN / normN; shortcut(.norm)
+    "conv1": ("conv1",), "conv2": ("conv2",), "conv3": ("conv3",),
+    "shortcut": ("shortcut",),
+}
+
+
+def _convert_bottleneck(sub: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """d2 BottleneckBlock state dict (relative keys) -> our BottleneckBlock."""
+    out: Dict[str, Any] = {}
+    for key, w in sub.items():
+        tokens = key.split(".")
+        conv, rest = tokens[0], tokens[1:]
+        if rest and rest[0] == "norm":
+            dest = "shortcut_norm" if conv == "shortcut" else conv.replace("conv", "norm")
+            name, val = _leaf(rest[1], "norm", w)
+        else:
+            dest = conv
+            name, val = _leaf(rest[0] if rest else "weight", conv, w)
+        _set(out, (dest, name), val)
+    return out
+
+
+def convert_projections(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, Any]:
+    """``backbone.feature_projections.N.B...`` -> MultiScaleProjection params."""
+    out: Dict[str, Any] = {}
+    groups: Dict[Tuple[int, int], Dict[str, np.ndarray]] = {}
+    pat = re.compile(re.escape(prefix) + r"\.(\d+)\.(\d+)\.(.+)")
+    for key, w in sd.items():
+        m = pat.match(key)
+        if m:
+            idx, blk, rel = int(m.group(1)), int(m.group(2)), m.group(3)
+            groups.setdefault((idx, blk), {})[rel] = w
+    for (idx, blk), sub in groups.items():
+        out[f"proj_{idx}_block_{blk}"] = _convert_bottleneck(sub)
+    return out
+
+
+def convert_daformer_head(
+    sd: Dict[str, np.ndarray], prefix: str, in_index=(0, 1, 2, 3)
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """reference DAFormerHead state dict -> (params, batch_stats)."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put(rel_key: str, w: np.ndarray):
+        tokens = _merge_indices(rel_key.split("."))
+        # embed_layers.{i}.proj -> embed_{pos}
+        if tokens[0].startswith("embed_layers_"):
+            i = int(tokens[0].split("_")[-1])
+            pos = list(in_index).index(i)
+            name, val = _leaf(tokens[-1], "dense", w)
+            _set(params, (f"embed_{pos}", name), val)
+            return
+        if tokens[0] == "conv_seg":
+            name, val = _leaf(tokens[-1], "conv", w)
+            _set(params, ("conv_seg", name), val)
+            return
+        if tokens[0] == "fuse_layer":
+            rest = tokens[1:]
+            if rest[0].startswith("aspp_modules_"):
+                i = rest[0].split("_")[-1]
+                rest = [f"aspp_{i}"] + rest[1:]
+            # drop the mmcv ConvModule '.conv' level only where our module
+            # keeps it too (we keep 'conv'/'bn' names) — structure matches
+            leaf = rest[-1]
+            parent = rest[-2] if len(rest) > 1 else ""
+            name, val = _leaf(leaf, parent, w)
+            dest = stats if name in ("mean", "var") else params
+            _set(dest, ("fuse_layer",) + tuple(rest[:-1]) + (name,), val)
+            return
+        raise KeyError(f"unhandled head key {rel_key}")
+
+    plen = len(prefix) + 1
+    for key, w in sd.items():
+        if key.startswith(prefix + "."):
+            put(key[plen:], w)
+    return params, stats
+
+
+def convert_clip_project(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, Any]:
+    """ClipFeatureProject tensors (prompt/time embeds + alphas) -> pytree."""
+    out = {}
+    plen = len(prefix) + 1
+    for key, w in sd.items():
+        if key.startswith(prefix + "."):
+            out[key[plen:]] = w
+    return out
+
+
+def _convert_peft_unet_key(key: str) -> Tuple[str, Optional[str]]:
+    """Strip peft wrappers: ``...to_q.base_layer.weight`` -> base key;
+    ``...to_q.lora_A.<adapter>.weight`` -> (base key, adapter)."""
+    m = re.match(r"(.*)\.lora_(A|B)\.([^.]+)\.weight$", key)
+    if m:
+        return f"{m.group(1)}.lora_{m.group(2)}", m.group(3)
+    return key.replace(".base_layer.", "."), None
+
+
+def convert_madm_pth(
+    path_or_sd,
+    in_index=(0, 1, 2, 3),
+) -> Dict[str, Any]:
+    """Released MADM checkpoint -> partial variables tree.
+
+    Returns {'params': {unet?, lora?, prompt, projections, head},
+             'ema': {projections, head, clip_project_others},
+             'state': {head_bn, ema_head_bn}} — everything present in the
+    file; frozen VAE comes from the SD snapshot (odise_checkpointer.py:78-101
+    ignored-keys contract)."""
+    sd = path_or_sd if isinstance(path_or_sd, dict) else load_torch_file(path_or_sd)
+
+    unet_prefix = "backbone.feature_extractor.ldm_extractor.unet."
+    unet_sd: Dict[str, np.ndarray] = {}
+    lora_raw: Dict[str, Dict[str, np.ndarray]] = {}
+    for key, w in sd.items():
+        if key.startswith(unet_prefix):
+            rel, adapter = _convert_peft_unet_key(key[len(unet_prefix):])
+            if adapter is None:
+                unet_sd[rel] = w
+            else:
+                lora_raw.setdefault(adapter, {})[rel] = w
+
+    out: Dict[str, Any] = {"params": {}, "ema": {}, "state": {}}
+    if unet_sd:
+        out["params"]["unet"] = convert_unet_state(unet_sd)
+
+    if lora_raw:
+        loras: Dict[str, Any] = {}
+        for adapter, tensors in lora_raw.items():
+            tree: Dict[str, Any] = {}
+            for key, w in tensors.items():
+                key = _diffusers_rename(key)
+                tokens = _merge_indices(key.split("."))
+                *parents, ab = tokens
+                if ab == "lora_A":  # torch [r, in] -> a [in, r]
+                    _set(tree, tuple(parents) + ("lora_a",), _dense(w))
+                else:  # lora_B torch [out, r] -> b [r, out]
+                    _set(tree, tuple(parents) + ("lora_b",), _dense(w))
+            loras[adapter] = tree
+        out["params"]["lora"] = loras
+
+    proj = convert_projections(sd, "backbone.feature_projections")
+    if proj:
+        out["params"]["projections"] = proj
+    ema_proj = convert_projections(sd, "backbone.ema_feature_projections")
+    if ema_proj:
+        out["ema"]["projections"] = ema_proj
+
+    head, head_bn = convert_daformer_head(sd, "sem_seg_head", in_index)
+    if head:
+        out["params"]["head"] = head
+        out["state"]["head_bn"] = head_bn
+    ema_head, ema_head_bn = convert_daformer_head(sd, "ema_sem_seg_head", in_index)
+    if ema_head:
+        out["ema"]["head"] = ema_head
+        out["state"]["ema_head_bn"] = ema_head_bn
+
+    rgb = convert_clip_project(sd, "backbone.feature_extractor.clip_project_rgb")
+    if rgb:
+        out["params"]["prompt"] = {"clip_project_rgb": rgb}
+    others = convert_clip_project(
+        sd, "backbone.feature_extractor.clip_project_others"
+    )
+    if others:
+        out["params"].setdefault("prompt", {})["clip_project_others"] = others
+    ema_others = convert_clip_project(
+        sd, "backbone.feature_extractor.ema_clip_project_others"
+    )
+    if ema_others:
+        out["ema"]["clip_project_others"] = ema_others
+    return out
+
+
+def merge_into_variables(variables: Dict[str, Any], converted: Dict[str, Any]):
+    """Overlay a (partial) converted tree onto model variables, checking
+    shapes; returns the merged tree (missing keys keep current values —
+    the ``_load_model`` reconciliation of ``odise_checkpointer.py:45-102``)."""
+    import jax.numpy as jnp
+
+    def overlay(dst, src, path=""):
+        out = dict(dst)
+        for k, v in src.items():
+            if isinstance(v, dict) and isinstance(dst.get(k), dict):
+                out[k] = overlay(dst[k], v, f"{path}/{k}")
+            else:
+                if k in dst and hasattr(dst[k], "shape") and hasattr(v, "shape"):
+                    if tuple(dst[k].shape) != tuple(v.shape):
+                        raise ValueError(
+                            f"shape mismatch at {path}/{k}: "
+                            f"{tuple(dst[k].shape)} vs {tuple(v.shape)}"
+                        )
+                    v = jnp.asarray(v, dtype=dst[k].dtype)
+                out[k] = v
+        return out
+
+    return overlay(variables, converted)

@@ -166,12 +166,14 @@ class LazyConfig:
         pkg_prefix = "_madm_cfg_" + uuid.uuid4().hex[:8]
         import sys
 
-        # register namespace packages for each level
-        for i in range(len(levels) - 1):
-            pkg_name = ".".join([pkg_prefix] + levels[: i + 1])
+        # register namespace packages for each level (incl. the bare prefix)
+        for i in range(len(levels)):
+            pkg_name = ".".join([pkg_prefix] + levels[:i])
+            if pkg_name in sys.modules:
+                continue
             spec = importlib.util.spec_from_loader(pkg_name, loader=None, is_package=True)
             mod = importlib.util.module_from_spec(spec)
-            mod.__path__ = [os.path.join(root, *levels[: i + 1])]
+            mod.__path__ = [os.path.join(root, *levels[:i])]
             sys.modules[pkg_name] = mod
 
         mod_name = ".".join([pkg_prefix] + levels)

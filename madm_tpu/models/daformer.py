@@ -126,7 +126,7 @@ class DAFormerHead(nn.Module):
             embeds.append(resize_bilinear(e, os_size))
         x = jnp.concatenate(embeds, axis=-1)
         x = ASPPWrapper(self.channels, self.dilations, dtype=self.dtype, name="fuse_layer")(x, train)
-        if train and self.dropout_ratio > 0:
+        if train and self.dropout_ratio > 0 and self.has_rng("dropout"):
             # Dropout2d: drop whole channels (torch nn.Dropout2d semantics)
             x = nn.Dropout(
                 self.dropout_ratio, broadcast_dims=(1, 2), deterministic=False,

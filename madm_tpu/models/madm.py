@@ -279,7 +279,11 @@ class MADM:
 
         unet_params = params["unet"]
         if lora_name is not None and lora_name in params["lora"]:
-            unet_params = merge_lora(unet_params, params["lora"][lora_name])
+            spec = self.lora_specs[lora_name]
+            unet_params = merge_lora(
+                unet_params, params["lora"][lora_name],
+                scale=spec["alpha"] / spec["rank"],
+            )
 
         eps, taps = self.unet.apply(
             {"params": unet_params}, noisy, timesteps, cond_prompt, cond_time
@@ -326,7 +330,7 @@ class MADM:
                 var_in, features, train=True, rngs=rngs, mutable=["batch_stats"]
             )
             return logits, mut["batch_stats"]
-        logits = self.head.apply(var_in, features, train=train and bool(rngs), rngs=rngs)
+        logits = self.head.apply(var_in, features, train=train, rngs=rngs)
         return logits
 
     # ----------------------------------------------------------- eval pass

@@ -33,18 +33,20 @@ def _walk_attention_kernels(params: Dict[str, Any], path=()):
 def init_lora(
     unet_params: Dict[str, Any],
     rank: int,
-    alpha: int,
+    alpha: int = 0,
     rng: jax.Array | int = 0,
     dtype=jnp.float32,
 ) -> Dict[str, Any]:
     """Create a zero-effect LoRA pytree for every attention projection.
 
     peft ``init_lora_weights='gaussian'`` semantics: A ~ N(0, 1/r), B = 0, so
-    the initial delta is exactly zero (``mtmadise.py:118-124``).
+    the initial delta is exactly zero (``mtmadise.py:118-124``).  The
+    alpha/rank scale is *static config* (``parse_lora_configs``), kept out of
+    the pytree so the whole tree is differentiable.
     """
     if isinstance(rng, int):
         rng = jax.random.PRNGKey(rng)
-    tree: Dict[str, Any] = {"__lora_meta__": {"rank": rank, "alpha": alpha}}
+    tree: Dict[str, Any] = {}
     for path, kernel in _walk_attention_kernels(unet_params):
         d_in, d_out = kernel.shape
         rng, sub = jax.random.split(rng)
@@ -60,17 +62,14 @@ def init_lora(
 def merge_lora(
     unet_params: Dict[str, Any],
     lora: Optional[Dict[str, Any]],
-    scale: float | None = None,
+    scale: float = 1.0,
 ) -> Dict[str, Any]:
     """Return params with ``kernel += scale * (A @ B)`` at every adapted site.
 
-    ``scale`` defaults to peft's ``alpha / rank``.  ``lora=None`` is identity
-    (adapter disabled — the 'default'-adapter-off case)."""
+    ``scale`` is peft's ``alpha / rank`` (static, from ``parse_lora_configs``).
+    ``lora=None`` is identity (adapter disabled)."""
     if lora is None:
         return unet_params
-    meta = lora.get("__lora_meta__", {})
-    if scale is None:
-        scale = meta.get("alpha", 1) / meta.get("rank", 1)
 
     def _merge(p_node, l_node):
         out = {}
@@ -91,7 +90,7 @@ def merge_lora(
                 out[k] = v
         return out
 
-    return _merge(unet_params, {k: v for k, v in lora.items() if k != "__lora_meta__"})
+    return _merge(unet_params, lora)
 
 
 def parse_lora_configs(lora_configs) -> Dict[str, Dict[str, int]]:

@@ -94,7 +94,7 @@ def _hsv_to_rgb(hsv: jax.Array) -> jax.Array:
     p = v * (1.0 - s)
     q = v * (1.0 - s * f)
     t = v * (1.0 - s * (1.0 - f))
-    i = i.astype(jnp.int32) % 6
+    i = (i.astype(jnp.int32) % 6)[..., None]
     rgb = jnp.select(
         [i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
         [

@@ -1,0 +1,274 @@
+"""The MADM UDA train step as one jitted program.
+
+Reproduces the reference's training forward (``modeling/meta_arch/
+mtmadise.py:177-656`` with the shipped config flags: enable_mixup, DACS
+jitter/blur, rev-noise pseudo-label denoising, vae_decoder_loss 'st',
+reg_uncertain, pseudo_threshold 0.968) as a single pure function:
+
+    state, metrics = train_step(state, batch, rng)
+
+Design notes (TPU-first):
+
+- All passes (source / mixed / teacher) live in ONE jit so XLA overlaps and
+  fuses; the DACS mix, palette rendering and pseudo-labeling run on device.
+- EMA update is a tree-map at the top of the step (``cmdise.py:337-349``);
+  at step 0 alpha=0 making it a no-op copy, matching the reference's skip.
+- The rev-noise schedule (``mtmadise.py:319-325``) is computed with traced
+  step arithmetic — no retrace across iterations.
+- The reference's ``add_zero_gead_on_unused_lora`` DDP workaround
+  (``mtmadise.py:149-157``) is unnecessary: unused adapters get exact zero
+  gradients from jax.grad.
+- Teacher batch-norm runs in batch-stats mode like torch train() and its
+  running stats update the EMA head's copy (persisted; unused at eval, kept
+  for checkpoint parity).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.madm import MADM, MADMConfig
+from ..ops import dacs, palette
+from . import criterion
+from .ema import ema_alpha, student_subtree, update_ema
+from .optimizer import merge_trainable, split_trainable
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training hyper-parameters (…depth_11.py / common/train.py)."""
+
+    max_iter: int = 10000
+    ema_alpha: float = 0.999
+    pseudo_threshold: float = 0.968
+    color_jitter_strength: float = 0.2
+    color_jitter_probability: float = 0.2
+    blur: bool = True
+    enable_mixup: bool = True
+    # rev-noise pseudo-label denoising (mtmadise.py:319-325)
+    rev_noise_sup: bool = True
+    rev_noise_end_iter: int = 5000
+    rev_noise_gradually: bool = True
+    denoise_timestep_range: Tuple[int, int] = (60, 61)
+    # vae decoder palette regression
+    vae_decoder_loss: str = "st"
+    vae_decoder_loss_type: str = "L1"
+    vae_decoder_loss_weight: Tuple[float, float] = (1.0, 1.0)
+    reg_uncertain: bool = True
+    # pl_crop (off in shipped configs)
+    pl_crop: bool = False
+    psweight_ignore_top: int = 15
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    ema: Any
+    state: Any  # {'head_bn', 'ema_head_bn'}
+    consts: Any
+    opt_state: Any
+
+
+def make_train_state(model: MADM, variables: Dict[str, Any], tx) -> TrainState:
+    trainable, _ = split_trainable(variables)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        ema=variables["ema"],
+        state=variables["state"],
+        consts=variables["consts"],
+        opt_state=tx.init(trainable),
+    )
+
+
+def rev_noise_timestep(rng: jax.Array, step: jax.Array, tc: TrainConfig) -> jax.Array:
+    """Scalar teacher-input timestep for this step (0 past end_iter).
+
+    (reference ``mtmadise.py:319-325``: t ~ randint(range) then scaled by
+    (1 - step/end_iter) when decaying gradually.)"""
+    if not tc.rev_noise_sup:
+        return jnp.zeros((), jnp.int32)
+    lo, hi = tc.denoise_timestep_range
+    t = jax.random.randint(rng, (), lo, hi + 1)
+    if tc.rev_noise_gradually:
+        t = (t.astype(jnp.float32) * (1.0 - step / tc.rev_noise_end_iter)).astype(jnp.int32)
+    return jnp.where(step <= tc.rev_noise_end_iter, t, 0)
+
+
+def make_train_step(model: MADM, tc: TrainConfig, tx):
+    """Build the jit-able train step for ``model``.
+
+    batch: {'source_rgb': [B,H,W,3] 0..1, 'source_label': [B,H,W] int32,
+            'target_second_modality': [B,H,W,3] 0..1}
+    """
+    mcfg = model.cfg
+    num_classes = mcfg.num_classes
+    table = jnp.asarray(palette.palette_table(mcfg.train_palette))
+    class_table = jnp.asarray(
+        palette.palette_table(mcfg.train_palette)[:num_classes]
+    )
+    modality = mcfg.target_modality
+    lora_names = set(model.lora_specs)
+    src_lora = "default" if "default" in lora_names else None
+    tgt_lora = modality if modality in lora_names else None
+
+    def encode_palette(variables, labels):
+        """labels -> palette RGB [-1,1] -> frozen VAE latent (stop-grad)."""
+        rgb, valid = palette.label_to_rgb(labels, table)
+        lat, _ = model.vae_encoder.apply(
+            {"params": variables["params"]["vae_encoder"]}, rgb
+        )
+        return jax.lax.stop_gradient(lat), valid
+
+    def step_fn(ts: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
+        step = ts.step
+        k_mask, k_jitter, k_revt, k_drop1, k_drop2, k_drop3 = jax.random.split(rng, 6)
+
+        # ---------------- EMA teacher update (cmdise.py:337-349) ----------
+        alpha = ema_alpha(step.astype(jnp.float32), tc.ema_alpha)
+        ema = update_ema(
+            ts.ema, student_subtree(ts.params, mcfg.same_cond_params), alpha
+        )
+
+        source = batch["source_rgb"]
+        target = batch["target_second_modality"]
+        gt = batch["source_label"]
+        b = source.shape[0]
+
+        # ---------------- DACS mix inputs (no grad) -----------------------
+        mix_mask = dacs.sample_class_masks(k_mask, gt, num_classes)  # [B,H,W]
+        mixed_img = dacs.one_mix(mix_mask[..., None], source, target)
+        mixed_img = dacs.strong_transform(
+            k_jitter, mixed_img, tc.color_jitter_strength,
+            tc.color_jitter_probability, tc.blur,
+        )
+        mixed_img = jax.lax.stop_gradient(mixed_img)
+
+        t_pl = rev_noise_timestep(k_revt, step.astype(jnp.float32), tc)
+
+        _, frozen = split_trainable({"params": ts.params})
+
+        def loss_fn(trainable):
+            params = merge_trainable(trainable, frozen)
+            variables = {
+                "params": params, "ema": ema, "state": ts.state, "consts": ts.consts,
+            }
+
+            # ------------- source pass (student, rgb) ---------------------
+            src_out = model.backbone_forward(
+                variables, source, input_modal="rgb", lora_name=src_lora, train=True,
+            )
+            src_logits, bn1 = model.head_forward(
+                variables, src_out["output_features"], train=True,
+                dropout_rng=k_drop1, update_bn=True,
+            )
+
+            # ------------- teacher pseudo-labels (no grad) ----------------
+            tch_out = model.backbone_forward(
+                variables, target, input_modal="others", lora_name=tgt_lora,
+                ema_forward=True,
+                timesteps=jnp.broadcast_to(t_pl, (b,)),
+            )
+            # torch quirk kept: the EMA head is in train() mode during
+            # pseudo-labeling, so dropout is active in the teacher too
+            ema_logits, ema_bn = model.head_forward(
+                variables, tch_out["output_features"], ema_forward=True,
+                train=True, dropout_rng=k_drop3, update_bn=True,
+            )
+            ema_logits = criterion._resize_logits(
+                ema_logits.astype(jnp.float32), target.shape[1:3]
+            )
+            ema_sm = jax.nn.softmax(jax.lax.stop_gradient(ema_logits), axis=-1)
+            pseudo_prob = ema_sm.max(axis=-1)
+            pseudo_label = ema_sm.argmax(axis=-1).astype(jnp.int32)
+            # per-sample confident fraction: identical to the reference's
+            # per-rank scalar at its shipped local batch of 1
+            # (cmdise.py:498-502), and shard-local under data parallelism
+            pseudo_val = (pseudo_prob >= tc.pseudo_threshold).mean(axis=(1, 2))
+            pseudo_weight = jnp.broadcast_to(
+                pseudo_val[:, None, None], pseudo_prob.shape
+            )
+            if tc.pl_crop:
+                pseudo_weight = pseudo_weight.at[:, : tc.psweight_ignore_top, :].set(0.0)
+
+            if tc.enable_mixup:
+                mixed_lbl = dacs.one_mix(
+                    mix_mask, gt.astype(jnp.float32), pseudo_label.astype(jnp.float32)
+                ).astype(jnp.int32)
+                mixed_w = dacs.one_mix(mix_mask, jnp.ones_like(pseudo_weight), pseudo_weight)
+            else:
+                mixed_lbl, mixed_w = pseudo_label, pseudo_weight
+
+            # reg_uncertain palette-distance PL — vis/metric only in the
+            # shipped path (mtmadise.py:327-333)
+            if tc.reg_uncertain and mcfg.use_s0:
+                dec01 = (tch_out["after_vae_decoder"].astype(jnp.float32) + 1) / 2
+                reg_prob, _, _ = palette.palette_distance_pseudo_label(dec01, class_table)
+            else:
+                reg_prob = jnp.zeros(())
+
+            # ------------- mixed pass (student, target adapter) -----------
+            state1 = {**ts.state, "head_bn": bn1}
+            var1 = {**variables, "state": state1}
+            mix_out = model.backbone_forward(
+                var1, mixed_img, input_modal="mixed", lora_name=tgt_lora, train=True,
+            )
+            mix_logits, bn2 = model.head_forward(
+                var1, mix_out["output_features"], train=True,
+                dropout_rng=k_drop2, update_bn=True,
+            )
+
+            losses = {
+                "source_loss": criterion.cross_entropy(src_logits, gt),
+                "target_loss": criterion.cross_entropy(
+                    mix_logits, mixed_lbl, pixel_weight=mixed_w
+                ),
+            }
+
+            # ------------- palette regression losses ----------------------
+            if "s" in tc.vae_decoder_loss:
+                src_gt_lat, src_valid = encode_palette(variables, gt)
+                losses["vae_decoder_source_loss"] = criterion.vae_decoder_loss(
+                    src_out["before_vae_decoder"], src_gt_lat, src_valid,
+                    tc.vae_decoder_loss_type, tc.vae_decoder_loss_weight[0],
+                )
+            if "t" in tc.vae_decoder_loss:
+                tgt_gt_lat, tgt_valid = encode_palette(variables, mixed_lbl)
+                tgt_mask = tgt_valid * pseudo_weight[..., None]
+                losses["vae_decoder_target_loss"] = criterion.vae_decoder_loss(
+                    mix_out["before_vae_decoder"], tgt_gt_lat, tgt_mask,
+                    tc.vae_decoder_loss_type, tc.vae_decoder_loss_weight[1],
+                )
+
+            total = sum(losses.values())
+            new_state = {"head_bn": bn2, "ema_head_bn": ema_bn}
+            metrics = {**losses, "total_loss": total,
+                       "pseudo_val": jnp.mean(pseudo_val),
+                       "reg_prob_mean": jnp.mean(reg_prob)}
+            return total, (metrics, new_state)
+
+        trainable, _ = split_trainable({"params": ts.params})
+        (_, (metrics, new_state)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable
+        )
+        gnorm = optax.global_norm(grads)
+        updates, new_opt = tx.update(grads, ts.opt_state, trainable)
+        new_trainable = optax.apply_updates(trainable, updates)
+        new_params = merge_trainable(new_trainable, frozen)
+        metrics["grad_norm"] = gnorm
+
+        return ts.replace(
+            step=step + 1,
+            params=new_params,
+            ema=ema,
+            state=new_state,
+            opt_state=new_opt,
+        ), metrics
+
+    return step_fn

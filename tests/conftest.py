@@ -7,6 +7,15 @@
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# single-core host: torch OpenMP threads deadlock against XLA's thread pool
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+os.environ.setdefault("MKL_NUM_THREADS", "1")
+try:
+    import torch
+
+    torch.set_num_threads(1)
+except ImportError:
+    pass
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,217 @@
+"""torch->flax converter parity tests.
+
+Builds reference modules in *raw torch* (same math as diffusers: GN32 + SiLU
++ 3x3 convs, pre-LN attention with to_q/k/v/out, GEGLU FF), converts their
+state dicts, and checks the flax modules produce identical outputs (NCHW vs
+NHWC).  This pins the layout/naming transforms the SD snapshot loader relies
+on without needing the actual snapshot on the test host.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn  # noqa: E402
+import torch.nn.functional as tF  # noqa: E402
+
+from madm_tpu.checkpoint.converter import (  # noqa: E402
+    convert_unet_state,
+    convert_vae_state,
+    load_safetensors,
+)
+from madm_tpu.models.sd.layers import (  # noqa: E402
+    BasicTransformerBlock,
+    ResnetBlock2D,
+)
+from madm_tpu.models.sd.vae import VAEDownsample  # noqa: E402
+
+ATOL = 2e-5
+
+
+def to_nhwc(x: torch.Tensor) -> jnp.ndarray:
+    return jnp.asarray(x.detach().numpy().transpose(0, 2, 3, 1))
+
+
+def from_nhwc(x: jnp.ndarray) -> np.ndarray:
+    return np.asarray(x).transpose(0, 3, 1, 2)
+
+
+class TorchResnetBlock(tnn.Module):
+    """diffusers ResnetBlock2D semantics (default time-scale-shift)."""
+
+    def __init__(self, cin, cout, temb_dim=64):
+        super().__init__()
+        self.norm1 = tnn.GroupNorm(32, cin, eps=1e-5)
+        self.conv1 = tnn.Conv2d(cin, cout, 3, padding=1)
+        self.time_emb_proj = tnn.Linear(temb_dim, cout)
+        self.norm2 = tnn.GroupNorm(32, cout, eps=1e-5)
+        self.conv2 = tnn.Conv2d(cout, cout, 3, padding=1)
+        self.conv_shortcut = tnn.Conv2d(cin, cout, 1) if cin != cout else None
+
+    def forward(self, x, temb):
+        h = self.conv1(tF.silu(self.norm1(x)))
+        h = h + self.time_emb_proj(tF.silu(temb))[:, :, None, None]
+        h = self.conv2(tF.silu(self.norm2(h)))
+        sc = self.conv_shortcut(x) if self.conv_shortcut is not None else x
+        return sc + h
+
+
+def test_resnet_block_parity():
+    torch.manual_seed(0)
+    blk = TorchResnetBlock(32, 64).eval()
+    x = torch.randn(2, 32, 8, 8)
+    temb = torch.randn(2, 64)
+    with torch.no_grad():
+        ref = blk(x, temb)
+
+    sd = {k: v.numpy() for k, v in blk.state_dict().items()}
+    sd = {k.replace("conv_shortcut.", "conv_shortcut."): v for k, v in sd.items()}
+    params = convert_unet_state(sd)
+
+    flax_blk = ResnetBlock2D(out_channels=64)
+    # note: our ResnetBlock applies silu(temb) inside via time_emb_proj
+    out = jax.jit(
+        lambda p, a, t: flax_blk.apply({"params": p}, a, t)
+    )(params, to_nhwc(x), jnp.asarray(temb.numpy()))
+    np.testing.assert_allclose(from_nhwc(out), ref.numpy(), atol=ATOL)
+
+
+class TorchTransformerBlock(tnn.Module):
+    """diffusers BasicTransformerBlock: self-attn, cross-attn, GEGLU FF."""
+
+    def __init__(self, dim, heads, ctx_dim):
+        super().__init__()
+        self.norm1 = tnn.LayerNorm(dim)
+        self.attn1 = self._attn(dim, dim)
+        self.norm2 = tnn.LayerNorm(dim)
+        self.attn2 = self._attn(dim, ctx_dim)
+        self.norm3 = tnn.LayerNorm(dim)
+        self.ff = tnn.ModuleDict(
+            {"net_0_proj": tnn.Linear(dim, dim * 8), "net_2": tnn.Linear(dim * 4, dim)}
+        )
+        self.heads = heads
+        self.dim = dim
+
+    def _attn(self, dim, kv_dim):
+        return tnn.ModuleDict(
+            {
+                "to_q": tnn.Linear(dim, dim, bias=False),
+                "to_k": tnn.Linear(kv_dim, dim, bias=False),
+                "to_v": tnn.Linear(kv_dim, dim, bias=False),
+                "to_out_0": tnn.Linear(dim, dim),
+            }
+        )
+
+    def _run_attn(self, mod, x, ctx):
+        b, s, _ = x.shape
+        h = self.heads
+        d = self.dim // h
+        q = mod["to_q"](x).view(b, s, h, d).transpose(1, 2)
+        k = mod["to_k"](ctx).view(b, ctx.shape[1], h, d).transpose(1, 2)
+        v = mod["to_v"](ctx).view(b, ctx.shape[1], h, d).transpose(1, 2)
+        att = torch.softmax(q @ k.transpose(-1, -2) * d**-0.5, dim=-1)
+        out = (att @ v).transpose(1, 2).reshape(b, s, self.dim)
+        return mod["to_out_0"](out)
+
+    def forward(self, x, ctx):
+        x = x + self._run_attn(self.attn1, self.norm1(x), self.norm1(x))
+        x = x + self._run_attn(self.attn2, self.norm2(x), ctx)
+        h = self.ff["net_0_proj"](self.norm3(x))
+        a, gate = h.chunk(2, dim=-1)
+        x = x + self.ff["net_2"](a * tF.gelu(gate))
+        return x
+
+
+def test_transformer_block_parity():
+    torch.manual_seed(1)
+    dim, heads, ctx_dim = 64, 8, 96
+    blk = TorchTransformerBlock(dim, heads, ctx_dim).eval()
+    x = torch.randn(2, 16, dim)
+    ctx = torch.randn(2, 7, ctx_dim)
+    with torch.no_grad():
+        ref = blk(x, ctx)
+
+    sd = {}
+    for k, v in blk.state_dict().items():
+        # real SD keys are nested under attentions.N.transformer_blocks.N —
+        # emulate one level so the converter's dotted renames apply
+        k = "tb." + k
+        k = k.replace("ff.net_0_proj", "ff.net.0.proj")
+        k = k.replace("ff.net_2", "ff.net.2").replace("to_out_0", "to_out.0")
+        sd[k] = v.numpy()
+    params = convert_unet_state(sd)["tb"]
+
+    flax_blk = BasicTransformerBlock(num_heads=heads, head_dim=dim // heads)
+    out = jax.jit(lambda p, a, c: flax_blk.apply({"params": p}, a, c))(
+        params, jnp.asarray(x.numpy()), jnp.asarray(ctx.numpy())
+    )
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=ATOL)
+
+
+def test_vae_downsample_asymmetric_pad_parity():
+    torch.manual_seed(2)
+    conv = tnn.Conv2d(32, 64, 3, stride=2, padding=0).eval()
+    x = torch.randn(1, 32, 16, 16)
+    with torch.no_grad():
+        ref = conv(tF.pad(x, (0, 1, 0, 1)))
+
+    sd = {"conv.weight": conv.weight.detach().numpy(),
+          "conv.bias": conv.bias.detach().numpy()}
+    params = convert_unet_state(sd)
+    flax_ds = VAEDownsample(out_channels=64)
+    out = jax.jit(lambda p, a: flax_ds.apply({"params": p}, a))(params, to_nhwc(x))
+    np.testing.assert_allclose(from_nhwc(out), ref.numpy(), atol=ATOL)
+
+
+def test_vae_state_split_and_flatten():
+    sd = {
+        "encoder.conv_in.weight": np.zeros((8, 3, 3, 3), np.float32),
+        "encoder.conv_in.bias": np.zeros((8,), np.float32),
+        "encoder.down_blocks.0.resnets.1.norm1.weight": np.ones((8,), np.float32),
+        "encoder.mid_block.attentions.0.to_q.weight": np.zeros((8, 8), np.float32),
+        "quant_conv.weight": np.zeros((8, 8, 1, 1), np.float32),
+        "decoder.up_blocks.2.resnets.0.conv1.weight": np.zeros((8, 8, 3, 3), np.float32),
+        "post_quant_conv.bias": np.zeros((4,), np.float32),
+    }
+    enc, dec = convert_vae_state(sd)
+    assert enc["conv_in"]["kernel"].shape == (3, 3, 3, 8)
+    assert "down_blocks_0_resnets_1" in enc
+    assert enc["down_blocks_0_resnets_1"]["norm1"]["scale"].shape == (8,)
+    assert enc["mid_block"]["attentions_0"]["to_q"]["kernel"].shape == (8, 8)
+    assert enc["quant_conv"]["kernel"].shape == (1, 1, 8, 8)
+    assert "up_blocks_2_resnets_0" in dec
+    assert dec["post_quant_conv"]["bias"].shape == (4,)
+
+
+def test_safetensors_reader_roundtrip(tmp_path):
+    import json as js
+    import struct
+
+    tensors = {
+        "a": np.arange(12, dtype=np.float32).reshape(3, 4),
+        "b": np.array([1, 2], dtype=np.int64),
+    }
+    header = {}
+    blobs = []
+    offset = 0
+    for name, arr in tensors.items():
+        raw = arr.tobytes()
+        header[name] = {
+            "dtype": {"float32": "F32", "int64": "I64"}[str(arr.dtype)],
+            "shape": list(arr.shape),
+            "data_offsets": [offset, offset + len(raw)],
+        }
+        blobs.append(raw)
+        offset += len(raw)
+    hjson = js.dumps(header).encode()
+    path = tmp_path / "t.safetensors"
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(hjson)))
+        f.write(hjson)
+        f.write(b"".join(blobs))
+
+    out = load_safetensors(str(path))
+    np.testing.assert_array_equal(out["a"], tensors["a"])
+    np.testing.assert_array_equal(out["b"], tensors["b"])

@@ -159,14 +159,13 @@ def test_vae_encoder_taps():
 
 def test_lora_merge_zero_at_init_then_scaled(tiny_unet):
     _, params = tiny_unet
-    lora = init_lora(params, rank=4, alpha=8)
-    merged = merge_lora(params, lora)
+    lora = init_lora(params, rank=4)
+    merged = merge_lora(params, lora, scale=2.0)
     diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), params, merged)
     assert max(jax.tree.leaves(diffs)) == 0.0
 
     lora2 = jax.tree.map(lambda x: jnp.ones_like(x) * 0.01, lora)
-    lora2["__lora_meta__"] = lora["__lora_meta__"]
-    merged2 = merge_lora(params, lora2)
+    merged2 = merge_lora(params, lora2, scale=2.0)
     diffs2 = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), params, merged2)
     assert max(jax.tree.leaves(diffs2)) > 0
     # non-attention leaves untouched
