@@ -17,6 +17,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -28,28 +29,42 @@ BASELINE_CROPS_PER_SEC_PER_CHIP = 12.5  # estimated A100 batch-1 eager rate
 
 def main():
     from madm_tpu.models.madm import MADM, MADMConfig
+    from madm_tpu.ops.attention import set_default_attention_impl
+
+    # env knobs for perf sweeps: MADM_ATTENTION=xla|pallas,
+    # MADM_PARAM_DTYPE=float32|bfloat16
+    set_default_attention_impl(os.environ.get("MADM_ATTENTION", "xla"))
 
     model = MADM(MADMConfig())  # full SD-v1.4, bf16 compute
     variables = model.init_params(jax.random.PRNGKey(0))
+    if os.environ.get("MADM_PARAM_DTYPE") == "bfloat16":
+        variables = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32
+            else x,
+            variables,
+        )
 
     @jax.jit
     def eval_fn(variables, images):
         logits = model.eval_forward(variables, images)
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return pred.sum()  # scalar: fetching it is the only reliable sync
+        # NOTE: on the tunneled 'axon' platform block_until_ready() does not
+        # block — timing must fetch a device scalar
 
     best = 0.0
     best_bs = 0
-    for bs in (1, 2, 4, 8):
+    for bs in (1, 4, 8, 16):
         try:
             images = jnp.zeros((bs, 512, 512, 3), jnp.float32)
-            # compile + warmup
-            eval_fn(variables, images).block_until_ready()
-            eval_fn(variables, images).block_until_ready()
-            iters = max(3, int(8 / bs))
+            float(eval_fn(variables, images))  # compile + warmup (fetch syncs)
+            float(eval_fn(variables, images))
+            iters = 8
             t0 = time.perf_counter()
-            for _ in range(iters):
-                out = eval_fn(variables, images)
-            out.block_until_ready()
+            outs = [eval_fn(variables, images) for _ in range(iters)]
+            for o in outs:  # drain: async dispatch pipelines the queue
+                float(o)
             dt = time.perf_counter() - t0
             rate = bs * iters / dt
             print(f"# bs={bs}: {rate:.2f} crops/s ({dt / iters * 1e3:.1f} ms/iter)",

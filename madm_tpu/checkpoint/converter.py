@@ -204,31 +204,73 @@ def convert_vae_state(
     return enc, dec
 
 
+def convert_clip_text_state(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """HF CLIPTextModel state dict -> flax CLIPTextTransformer params.
+
+    Handles both bare keys and the ``text_model.`` prefix; the NeTI wrapper
+    class in the reference keeps HF naming underneath
+    (``modeling/neti/neti_clip_text_encoder.py``)."""
+    tree: Dict[str, Any] = {}
+    for key, w in sd.items():
+        key = key.removeprefix("text_model.")
+        if key.startswith("embeddings.token_embedding."):
+            _set(tree, ("token_embedding", "embedding"), w)
+            continue
+        if key.startswith("embeddings.position_embedding."):
+            _set(tree, ("position_embedding",), w)
+            continue
+        if key.startswith("embeddings.position_ids"):
+            continue
+        if key.startswith("encoder.layers."):
+            rest = key[len("encoder.layers."):]
+            idx, rest = rest.split(".", 1)
+            rest = rest.replace("mlp.fc1", "mlp_fc1").replace("mlp.fc2", "mlp_fc2")
+            tokens = rest.split(".")
+            *parents, leaf = tokens
+            name, val = _leaf(leaf, parents[-1] if parents else "", w)
+            _set(tree, (f"layers_{idx}",) + tuple(parents) + (name,), val)
+            continue
+        if key.startswith("final_layer_norm."):
+            leaf = key.split(".")[-1]
+            name, val = _leaf(leaf, "final_layer_norm", w)
+            _set(tree, ("final_layer_norm", name), val)
+            continue
+        # NeTI mapper keys or pooler heads: ignored here (mapper converted
+        # separately when present)
+    return tree
+
+
 def load_sd_snapshot(snapshot_dir: str):
     """Load VAE + UNet from a HF SD-v1.4 snapshot directory.
 
     Returns {'vae_encoder', 'vae_decoder', 'unet'} flax param trees.
     (reference loads the same snapshot via from_pretrained —
     ``ldm_diffusers.py:246-266``.)"""
-    def find(sub):
+    def find(sub, names):
         d = os.path.join(os.path.expanduser(snapshot_dir), sub)
-        for name in (
-            "diffusion_pytorch_model.safetensors",
-            "diffusion_pytorch_model.bin",
-        ):
+        for name in names:
             p = os.path.join(d, name)
             if os.path.exists(p):
                 return p
         raise FileNotFoundError(f"no weights under {d}")
 
-    vae_sd = load_torch_file(find("vae"))
-    unet_sd = load_torch_file(find("unet"))
+    diff_names = ("diffusion_pytorch_model.safetensors", "diffusion_pytorch_model.bin")
+    vae_sd = load_torch_file(find("vae", diff_names))
+    unet_sd = load_torch_file(find("unet", diff_names))
     enc, dec = convert_vae_state(vae_sd)
-    return {
+    out = {
         "vae_encoder": enc,
         "vae_decoder": dec,
         "unet": convert_unet_state(unet_sd),
     }
+    try:
+        text_sd = load_torch_file(
+            find("text_encoder", ("model.safetensors", "pytorch_model.bin"))
+        )
+        out["clip_text"] = convert_clip_text_state(text_sd)
+    except FileNotFoundError:
+        pass  # text encoder optional: only needed to recompute uncond_inputs
+    return out
 
 
 # ------------------------------------------------------------- MADM .pth

@@ -58,6 +58,9 @@ class MADMConfig:
     head_channels: int = 256
     # conditioning
     same_cond_params: bool = True
+    # separate decode head for the target modality (cmdise.py:154-157;
+    # False in shipped configs -> one shared head)
+    sem_seg_head_sec_modal: bool = False
     # vae decoder regression (vae_decoder_loss 'st')
     vae_decoder_loss: str = "st"
     # lora
@@ -165,6 +168,8 @@ class MADM:
         }
         head_vars = jax.jit(self.head.init)(keys[4], head_in)
         head, head_bn = head_vars["params"], head_vars.get("batch_stats", {})
+        head_sec = jax.tree.map(jnp.copy, head) if self.cfg.sem_seg_head_sec_modal else None
+        head_sec_bn = jax.tree.map(jnp.copy, head_bn) if self.cfg.sem_seg_head_sec_modal else None
 
         prompt = prompt_lib.init_prompt_generator(
             keys[5],
@@ -186,6 +191,9 @@ class MADM:
             "head": head,
         }
         state = {"head_bn": head_bn, "ema_head_bn": jax.tree.map(jnp.copy, head_bn)}
+        if self.cfg.sem_seg_head_sec_modal:
+            params["head_sec"] = head_sec
+            state["head_sec_bn"] = head_sec_bn
         ema = self.init_ema(params)
         consts = {
             "uncond_inputs": jnp.zeros((1, 77, 768), jnp.float32),
@@ -318,11 +326,21 @@ class MADM:
         train: bool = False,
         dropout_rng: Optional[jax.Array] = None,
         update_bn: bool = False,
+        use_sec_modal: bool = False,
     ):
         """DAFormer head; returns logits [B, h, w, C] (+ new BN stats if
-        ``update_bn``)."""
-        p = variables["ema"]["head"] if ema_forward else variables["params"]["head"]
-        bn = variables["state"]["ema_head_bn" if ema_forward else "head_bn"]
+        ``update_bn``).  ``use_sec_modal`` routes to the separate target
+        head when ``sem_seg_head_sec_modal`` is configured (cmdise.py:154-157)."""
+        sec = use_sec_modal and self.cfg.sem_seg_head_sec_modal
+        if ema_forward:
+            p = variables["ema"]["head"]
+            bn = variables["state"]["ema_head_bn"]
+        elif sec:
+            p = variables["params"]["head_sec"]
+            bn = variables["state"]["head_sec_bn"]
+        else:
+            p = variables["params"]["head"]
+            bn = variables["state"]["head_bn"]
         var_in = {"params": p, "batch_stats": bn}
         rngs = {"dropout": dropout_rng} if (train and dropout_rng is not None) else {}
         if update_bn and train:
@@ -347,6 +365,6 @@ class MADM:
         feats = self.backbone_forward(
             variables, images, input_modal="others", lora_name=lora_name
         )["output_features"]
-        logits = self.head_forward(variables, feats)
+        logits = self.head_forward(variables, feats, use_sec_modal=True)
         logits = resize_bilinear(logits.astype(jnp.float32), images.shape[1:3])
         return logits

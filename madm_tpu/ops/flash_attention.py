@@ -1,0 +1,116 @@
+"""Pallas TPU attention kernel for the SD UNet's 16 attention blocks.
+
+The reference runs diffusers' torch attention, materializing the full
+[S, S] score matrix in GPU memory (its xformers flash path is commented out —
+``ldm_diffusers.py:257``).  On TPU the dominant cost at the 64x64 latent
+(S=4096, D=40) is HBM traffic for those scores (~270 MB/layer in bf16);
+this kernel keeps each q-block's scores in VMEM and never writes them out.
+
+Design (sized to MADM's static shapes — S in {64, 256, 1024, 4096} self /
+77 cross, D in {40, 80, 160}, 8 heads):
+
+- grid (B, H, n_q_blocks); a q tile [bq, D] against the FULL K/V for that
+  (batch, head) — K/V for S<=4096, D<=160 fit comfortably in VMEM, so no
+  online-softmax streaming is needed; one fused QK^T -> masked softmax(fp32)
+  -> PV per grid step.
+- 4D BlockSpecs index straight into [B, S, H, D] — no host-side transpose.
+- Cross-attention pads Sk (77 -> 128) in the wrapper; padded keys are
+  masked to -inf before the softmax inside the kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
+    q = q_ref[0, :, 0, :]  # [bq, D]
+    k = k_ref[0, :, 0, :]  # [Sk_pad, D]
+    v = v_ref[0, :, 0, :]
+
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bq, Sk_pad] fp32
+    scores = scores * scale
+    sk_pad = k.shape[0]
+    if kv_len < sk_pad:  # static: mask the wrapper's padding keys
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(col < kv_len, scores, -jnp.inf)
+
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    probs = e / jnp.sum(e, axis=-1, keepdims=True)
+
+    out = jax.lax.dot_general(
+        probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0, :, 0, :] = out.astype(o_ref.dtype)
+
+
+def _pick_bq(sq: int, sk_pad: int, d: int, itemsize: int) -> int:
+    """Largest q block keeping scores + tiles well under the VMEM budget."""
+    budget = 8 * 1024 * 1024  # leave headroom of ~half of VMEM
+    kv_bytes = 2 * sk_pad * d * itemsize
+    for bq in (1024, 512, 256, 128, 64, 32, 16, 8):
+        if bq > sq:
+            continue
+        if sq % bq:
+            continue
+        scores_bytes = bq * sk_pad * 4 * 2  # scores + exp intermediates
+        q_bytes = 2 * bq * d * itemsize
+        if kv_bytes + scores_bytes + q_bytes < budget:
+            return bq
+    return min(8, sq)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def flash_attention(
+    q: jax.Array,  # [B, Sq, H, D]
+    k: jax.Array,  # [B, Sk, H, D]
+    v: jax.Array,
+    scale: float | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+
+    sk_pad = max(128, -(-sk // 128) * 128)
+    if sk_pad != sk:
+        pad = [(0, 0), (0, sk_pad - sk), (0, 0), (0, 0)]
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+
+    bq = _pick_bq(sq, sk_pad, d, q.dtype.itemsize)
+    grid = (b, h, sq // bq)
+
+    kernel = functools.partial(_attn_kernel, scale=scale, kv_len=sk)
+    flops = 4 * b * h * sq * sk * d
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, 1, d), lambda bi, hi, qi: (bi, qi, hi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_pad, 1, d), lambda bi, hi, qi: (bi, 0, hi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_pad, 1, d), lambda bi, hi, qi: (bi, 0, hi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, 1, d), lambda bi, hi, qi: (bi, qi, hi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(q.size + k.size + v.size + q.size) * q.dtype.itemsize,
+            transcendentals=b * h * sq * sk,
+        ),
+        interpret=interpret,
+    )(q, k, v)

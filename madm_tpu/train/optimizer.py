@@ -106,8 +106,9 @@ def split_trainable(variables: Dict[str, Any]):
     the static equivalent of the reference's ``exclude_unused_params`` probe,
     ``ldm_diffusers.py:123-141``).  Frozen = VAE encoder/decoder."""
     p = variables["params"]
-    trainable = {k: p[k] for k in ("unet", "lora", "prompt", "projections", "head")}
-    frozen = {k: p[k] for k in ("vae_encoder", "vae_decoder")}
+    frozen_keys = ("vae_encoder", "vae_decoder")
+    trainable = {k: v for k, v in p.items() if k not in frozen_keys}
+    frozen = {k: p[k] for k in frozen_keys}
     return trainable, frozen
 
 

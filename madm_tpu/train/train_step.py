@@ -64,6 +64,17 @@ class TrainConfig:
     # pl_crop (off in shipped configs)
     pl_crop: bool = False
     psweight_ignore_top: int = 15
+    # masked-image consistency (MIC) — CE variant (cmdise.py:181-183,
+    # mtmadise.py:404-420,471-476); off in shipped configs
+    mic: bool = False
+    mask_ratio: float = 0.7
+    # MIC regression variant: masked decoder latent vs PL palette latent
+    # (mtmadise.py:477-488); 0 = off
+    mic_reg: float = 0.0
+    mic_reg_wo_pl_val: bool = False
+    # denoise supervision: student-at-noise-t decoder latent vs PL palette
+    # latent (mtmadise.py:425-441,489-499); 0 = off
+    denoise_supervise: float = 0.0
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -128,7 +139,8 @@ def make_train_step(model: MADM, tc: TrainConfig, tx):
 
     def step_fn(ts: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
         step = ts.step
-        k_mask, k_jitter, k_revt, k_drop1, k_drop2, k_drop3 = jax.random.split(rng, 6)
+        (k_mask, k_jitter, k_revt, k_drop1, k_drop2, k_drop3,
+         k_micjit, k_micmask, k_micdrop, k_dst) = jax.random.split(rng, 10)
 
         # ---------------- EMA teacher update (cmdise.py:337-349) ----------
         alpha = ema_alpha(step.astype(jnp.float32), tc.ema_alpha)
@@ -221,7 +233,7 @@ def make_train_step(model: MADM, tc: TrainConfig, tx):
             )
             mix_logits, bn2 = model.head_forward(
                 var1, mix_out["output_features"], train=True,
-                dropout_rng=k_drop2, update_bn=True,
+                dropout_rng=k_drop2, update_bn=True, use_sec_modal=True,
             )
 
             losses = {
@@ -230,6 +242,47 @@ def make_train_step(model: MADM, tc: TrainConfig, tx):
                     mix_logits, mixed_lbl, pixel_weight=mixed_w
                 ),
             }
+
+            # ------------- MIC / denoise-supervise extras -----------------
+            if tc.mic or tc.mic_reg:
+                masked_img = dacs.strong_transform(
+                    k_micjit, target, tc.color_jitter_strength,
+                    tc.color_jitter_probability, tc.blur,
+                )
+                masked_img = dacs.mask_image(k_micmask, masked_img, tc.mask_ratio)
+                masked_img = jax.lax.stop_gradient(masked_img)
+                mic_out = model.backbone_forward(
+                    var1, masked_img, input_modal="others", lora_name=tgt_lora,
+                    train=True,
+                )
+                if tc.mic:
+                    mic_logits = model.head_forward(
+                        var1, mic_out["output_features"], train=True,
+                        dropout_rng=k_micdrop, use_sec_modal=True,
+                    )
+                    losses["masked_prompt_consistency_loss"] = criterion.cross_entropy(
+                        mic_logits, pseudo_label, pixel_weight=pseudo_weight
+                    )
+            if tc.mic_reg or tc.denoise_supervise:
+                pl_color_lat, _ = encode_palette(variables, pseudo_label)
+                pv = pseudo_val.mean()
+            if tc.mic_reg:
+                losses["mic_vae_decoder_loss"] = criterion.denoise_consistency_loss(
+                    mic_out["before_vae_decoder"], pl_color_lat,
+                    1.0 if tc.mic_reg_wo_pl_val else pv,
+                    tc.vae_decoder_loss_type, tc.mic_reg,
+                )
+            if tc.denoise_supervise:
+                lo, hi = tc.denoise_timestep_range
+                t_ds = jax.random.randint(k_dst, (b,), lo, hi + 1)
+                ds_out = model.backbone_forward(
+                    variables, target, input_modal="others", lora_name=tgt_lora,
+                    timesteps=t_ds, train=True,
+                )
+                losses["denoise_consistency_loss"] = criterion.denoise_consistency_loss(
+                    ds_out["before_vae_decoder"], pl_color_lat, pv,
+                    tc.vae_decoder_loss_type, tc.denoise_supervise,
+                )
 
             # ------------- palette regression losses ----------------------
             if "s" in tc.vae_decoder_loss:
@@ -247,7 +300,10 @@ def make_train_step(model: MADM, tc: TrainConfig, tx):
                 )
 
             total = sum(losses.values())
-            new_state = {"head_bn": bn2, "ema_head_bn": ema_bn}
+            if mcfg.sem_seg_head_sec_modal:
+                new_state = {"head_bn": bn1, "head_sec_bn": bn2, "ema_head_bn": ema_bn}
+            else:
+                new_state = {"head_bn": bn2, "ema_head_bn": ema_bn}
             metrics = {**losses, "total_loss": total,
                        "pseudo_val": jnp.mean(pseudo_val),
                        "reg_prob_mean": jnp.mean(reg_prob)}

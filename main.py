@@ -131,7 +131,14 @@ def build_model_and_state(cfg, args):
     if args.sd_snapshot:
         logger.info(f"loading SD snapshot from {args.sd_snapshot}")
         sd = load_sd_snapshot(args.sd_snapshot)
+        clip_text = sd.pop("clip_text", None)
         variables["params"] = merge_into_variables(variables["params"], sd)
+        if clip_text is not None:
+            # recompute the empty-prompt embedding from the real text encoder
+            # (reference ldm_diffusers.py:219-243)
+            from madm_tpu.models.clip_text import compute_uncond_inputs
+
+            variables["consts"]["uncond_inputs"] = compute_uncond_inputs(clip_text)
 
     trainable, _ = split_trainable(variables)
     opt = cfg.optimizer
