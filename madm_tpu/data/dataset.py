@@ -147,6 +147,22 @@ class CrossModalityDataset:
     def _load(
         self, path, resize_wh=None, crop=None, flip=False, is_label=False,
     ) -> np.ndarray:
+        from . import native
+
+        if native.available():
+            arr = native.load(
+                path, resize_wh, crop, flip,
+                nearest=is_label, out_c=1 if is_label else 3,
+            )
+            if is_label:
+                arr = arr[..., 0].astype(np.int32)
+                if self.deliver_label_process:
+                    mask = arr == IGNORE_LABEL
+                    arr = arr - 1
+                    arr[mask] = IGNORE_LABEL
+                return arr
+            return arr.astype(np.float32)
+
         img = Image.open(path)
         if resize_wh is not None:
             img = img.resize(resize_wh, Image.NEAREST if is_label else Image.BILINEAR)

@@ -29,9 +29,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
-    q = q_ref[0, :, 0, :]  # [bq, D]
-    k = k_ref[0, :, 0, :]  # [Sk_pad, D]
-    v = v_ref[0, :, 0, :]
+    q = q_ref[0, 0, :, :]  # [bq, D]
+    k = k_ref[0, 0, :, :]  # [Sk_pad, D]
+    v = v_ref[0, 0, :, :]
 
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -50,7 +50,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
         probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    o_ref[0, :, 0, :] = out.astype(o_ref.dtype)
+    o_ref[0, 0, :, :] = out.astype(o_ref.dtype)
 
 
 def _pick_bq(sq: int, sk_pad: int, d: int, itemsize: int) -> int:
@@ -82,9 +82,16 @@ def flash_attention(
     b, sq, h, d = q.shape
     sk = k.shape[1]
 
+    # Mosaic needs the last two block dims (8, 128)-aligned or array-equal:
+    # run the kernel in [B, H, S, D] layout (XLA fuses the transposes into
+    # the surrounding projection matmuls)
+    q = jnp.transpose(q, (0, 2, 1, 3))
+    k = jnp.transpose(k, (0, 2, 1, 3))
+    v = jnp.transpose(v, (0, 2, 1, 3))
+
     sk_pad = max(128, -(-sk // 128) * 128)
     if sk_pad != sk:
-        pad = [(0, 0), (0, sk_pad - sk), (0, 0), (0, 0)]
+        pad = [(0, 0), (0, 0), (0, sk_pad - sk), (0, 0)]
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
 
@@ -93,18 +100,18 @@ def flash_attention(
 
     kernel = functools.partial(_attn_kernel, scale=scale, kv_len=sk)
     flops = 4 * b * h * sq * sk * d
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bq, 1, d), lambda bi, hi, qi: (bi, qi, hi, 0),
+            pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk_pad, 1, d), lambda bi, hi, qi: (bi, 0, hi, 0),
+            pl.BlockSpec((1, 1, sk_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk_pad, 1, d), lambda bi, hi, qi: (bi, 0, hi, 0),
+            pl.BlockSpec((1, 1, sk_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bq, 1, d), lambda bi, hi, qi: (bi, qi, hi, 0),
+        out_specs=pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         cost_estimate=pl.CostEstimate(
@@ -114,3 +121,4 @@ def flash_attention(
         ),
         interpret=interpret,
     )(q, k, v)
+    return jnp.transpose(out, (0, 2, 1, 3))
