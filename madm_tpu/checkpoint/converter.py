@@ -240,6 +240,48 @@ def convert_clip_text_state(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return tree
 
 
+def convert_clip_vision_state(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """HF CLIPVisionModel(WithProjection) state dict -> flax
+    CLIPVisionTransformer params (note HF's 'pre_layrnorm' typo)."""
+    tree: Dict[str, Any] = {}
+    for key, w in sd.items():
+        key = key.removeprefix("vision_model.")
+        if key == "visual_projection.weight":
+            _set(tree, ("visual_projection", "kernel"), _dense(w))
+            continue
+        if key.startswith("embeddings.class_embedding"):
+            _set(tree, ("class_embedding",), w.reshape(-1))
+            continue
+        if key.startswith("embeddings.patch_embedding."):
+            _set(tree, ("patch_embedding", "kernel"), _conv(w))
+            continue
+        if key.startswith("embeddings.position_embedding."):
+            _set(tree, ("position_embedding",), w)
+            continue
+        if key.startswith("embeddings.position_ids"):
+            continue
+        if key.startswith(("pre_layrnorm.", "pre_layernorm.")):
+            leaf = key.split(".")[-1]
+            name, val = _leaf(leaf, "norm", w)
+            _set(tree, ("pre_layernorm", name), val)
+            continue
+        if key.startswith("post_layernorm."):
+            leaf = key.split(".")[-1]
+            name, val = _leaf(leaf, "norm", w)
+            _set(tree, ("post_layernorm", name), val)
+            continue
+        if key.startswith("encoder.layers."):
+            rest = key[len("encoder.layers."):]
+            idx, rest = rest.split(".", 1)
+            rest = rest.replace("mlp.fc1", "mlp_fc1").replace("mlp.fc2", "mlp_fc2")
+            tokens = rest.split(".")
+            *parents, leaf = tokens
+            name, val = _leaf(leaf, parents[-1] if parents else "", w)
+            _set(tree, (f"layers_{idx}",) + tuple(parents) + (name,), val)
+            continue
+    return tree
+
+
 def load_sd_snapshot(snapshot_dir: str):
     """Load VAE + UNet from a HF SD-v1.4 snapshot directory.
 

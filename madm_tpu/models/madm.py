@@ -297,7 +297,7 @@ class MADM:
             {"params": unet_params}, noisy, timesteps, cond_prompt, cond_time
         )
 
-        out: Dict[str, Any] = {}
+        out: Dict[str, Any] = {"unet_taps": taps}
         feats: list = []
         if cfg.use_s0:
             assert cfg.vae_decoder_loss is not None

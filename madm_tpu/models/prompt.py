@@ -105,3 +105,60 @@ def init_prompt_generator(
     if not same_cond_params:
         tree["clip_project_others"] = init_clip_feature_project(r2, **kwargs)
     return tree
+
+
+# ---------------------------------------------------------------------------
+# CLIP-image-prefix variant + prompt ablation ops.  Not exercised by the
+# trained configs (clip_state='no'), kept for the full reference surface.
+# ---------------------------------------------------------------------------
+
+
+def init_positional_linear(
+    rng: jax.Array,
+    in_features: int,
+    out_features: int,
+    seq_len: int = PROMPT_SEQ_LEN,
+) -> Dict[str, Any]:
+    """PositionalLinear params (reference ``ldm_base.py:619-629``): a Dense
+    lifting the CLIP image embedding plus a learnable positional table."""
+    r1, r2 = jax.random.split(rng)
+    scale = (1.0 / in_features) ** 0.5
+    return {
+        "kernel": jax.random.uniform(r1, (in_features, out_features),
+                                     minval=-scale, maxval=scale),
+        "bias": jnp.zeros((out_features,)),
+        "positional_embedding": _trunc_normal(r2, (1, seq_len, out_features)),
+    }
+
+
+def positional_linear(params: Dict[str, Any], prefix: jax.Array) -> jax.Array:
+    """[B, in] -> [B, seq, out] (reference ``ldm_base.py:626-629``)."""
+    x = prefix @ params["kernel"] + params["bias"]
+    return x[:, None, :] + params["positional_embedding"]
+
+
+def mask_prompt(rng: jax.Array, prompt: jax.Array, mask_ratio: float) -> jax.Array:
+    """Random token-row dropout on the prompt (reference ``ldm_base.py:926-938``)."""
+    keep = (
+        jax.random.uniform(rng, prompt.shape[:-1] + (1,)) > mask_ratio
+    ).astype(prompt.dtype)
+    return prompt * keep
+
+
+def perturb_prompt(rng: jax.Array, prompt: jax.Array, scale: float) -> jax.Array:
+    """Additive gaussian prompt perturbation (reference ``ldm_base.py:898-901``)."""
+    return prompt + jax.random.normal(rng, prompt.shape, prompt.dtype) * scale
+
+
+def rand_prompt(rng: jax.Array, prompt: jax.Array, scale: float) -> jax.Array:
+    """Uniform random prompt replacement (reference ``ldm_base.py:902-903``)."""
+    return jax.random.uniform(rng, prompt.shape, prompt.dtype) * scale
+
+
+def mix_source_target_prompt(p_rgb: Dict[str, Any], p_others: Dict[str, Any],
+                             uncond_prompt: jax.Array):
+    """Average the two domains' conditioning (reference ``ldm_base.py:880-884``)."""
+    cp = 0.5 * (cond_prompt(p_rgb, uncond_prompt) + cond_prompt(p_others, uncond_prompt))
+    t_rgb, t_oth = cond_time(p_rgb), cond_time(p_others)
+    ct = None if t_rgb is None else 0.5 * (t_rgb + t_oth)
+    return cp, ct

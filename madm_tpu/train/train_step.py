@@ -75,6 +75,10 @@ class TrainConfig:
     # denoise supervision: student-at-noise-t decoder latent vs PL palette
     # latent (mtmadise.py:425-441,489-499); 0 = off
     denoise_supervise: float = 0.0
+    # feature-distance regularization vs the frozen init UNet
+    # (mtmadise.py:228-238,533-547); 0 = off; requires
+    # ``add_feature_distance_baseline`` having stored the init copies
+    fd: float = 0.0
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -84,6 +88,15 @@ class TrainState(flax.struct.PyTreeNode):
     state: Any  # {'head_bn', 'ema_head_bn'}
     consts: Any
     opt_state: Any
+
+
+def add_feature_distance_baseline(state: "TrainState") -> "TrainState":
+    """Snapshot the init UNet + prompt as the fd regularization target
+    (replaces the reference's ``ori_unet = deepcopy(...)``, cmdise.py:332-335)."""
+    consts = dict(state.consts)
+    consts["ori_unet"] = jax.tree.map(jnp.copy, state.params["unet"])
+    consts["ori_prompt"] = jax.tree.map(jnp.copy, state.params["prompt"])
+    return state.replace(consts=consts)
 
 
 def make_train_state(model: MADM, variables: Dict[str, Any], tx) -> TrainState:
@@ -282,6 +295,20 @@ def make_train_step(model: MADM, tc: TrainConfig, tx):
                 losses["denoise_consistency_loss"] = criterion.denoise_consistency_loss(
                     ds_out["before_vae_decoder"], pl_color_lat, pv,
                     tc.vae_decoder_loss_type, tc.denoise_supervise,
+                )
+
+            # ------------- feature distance vs frozen init UNet ------------
+            if tc.fd:
+                ori_params = {**params, "unet": ts.consts["ori_unet"],
+                              "prompt": ts.consts["ori_prompt"]}
+                ori_out = model.backbone_forward(
+                    {**variables, "params": ori_params}, source,
+                    input_modal="rgb", lora_name=None,
+                )
+                losses["feature_distance_loss"] = criterion.feature_distance_loss(
+                    src_out["unet_taps"],
+                    [jax.lax.stop_gradient(t) for t in ori_out["unet_taps"]],
+                    tc.fd,
                 )
 
             # ------------- palette regression losses ----------------------

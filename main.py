@@ -220,7 +220,18 @@ def do_train(cfg, args):
     devices = jax.devices()
     if args.num_chips:
         devices = devices[: args.num_chips]
-    mesh = make_mesh(devices)
+    # the data axis cannot exceed the total batch (ref: total batch split
+    # across ranks, data/build.py:77-90) — use the largest divisor that fits
+    total_bs = cfg.dataloader.train.total_batch_size
+    n = len(devices)
+    while total_bs % n:
+        n -= 1
+    if n != len(devices):
+        logger.warning(
+            f"batch {total_bs} not divisible by {len(devices)} devices; "
+            f"using {n} devices for the data axis"
+        )
+    mesh = make_mesh(devices[:n])
     logger.info(f"mesh: {mesh}")
 
     ckpt = Checkpointer(cfg.train.output_dir)
@@ -243,6 +254,48 @@ def do_train(cfg, args):
         period=cfg.train.get("log_period", 50),
     )
 
+    # periodic training-vis grids (reference VisHook / mtmadise.py:551-653)
+    vis_period = cfg.train.get("vis_period", 0)
+    if vis_period:
+        import jax.numpy as jnp
+
+        from madm_tpu.utils.visualization import save_vis_grid
+
+        @jax.jit
+        def _vis_fwd(variables, src, tgt):
+            sfeats = model.backbone_forward(variables, src, input_modal="rgb")
+            slog = model.head_forward(variables, sfeats["output_features"])
+            tfeats = model.backbone_forward(
+                variables, tgt, input_modal="others", ema_forward=True
+            )
+            tlog = model.head_forward(
+                variables, tfeats["output_features"], ema_forward=True
+            )
+            return slog.astype(jnp.float32), tlog.astype(jnp.float32)
+
+        def maybe_vis(it, state, batch):
+            if (it + 1) % vis_period:
+                return
+            v = state_to_variables(state)
+            slog, tlog = _vis_fwd(v, batch["source_rgb"], batch["target_second_modality"])
+            save_vis_grid(
+                [
+                    {"data_type": "image", "info": "source_rgb",
+                     "data": np.asarray(batch["source_rgb"])},
+                    {"data_type": "logits", "info": "source_pred", "data": np.asarray(slog)},
+                    {"data_type": "label", "info": "source_label",
+                     "data": np.asarray(batch["source_label"])},
+                    {"data_type": "image", "info": "target_sec_modal",
+                     "data": np.asarray(batch["target_second_modality"])},
+                    {"data_type": "logits", "info": "target_sec_modal_pl",
+                     "data": np.asarray(tlog)},
+                ],
+                cfg.train.output_dir, it + 1, list(model.cfg.train_palette),
+            )
+    else:
+        def maybe_vis(it, state, batch):
+            return
+
     rng = jax.random.PRNGKey(cfg.train.seed)
     data_iter = iter(loader)
     t_last = time.perf_counter()
@@ -263,6 +316,7 @@ def do_train(cfg, args):
             )
             t_last = t2
             writers.maybe_write(storage)
+            maybe_vis(it, state, batch)
             periodic.step(it, state)
             if (it + 1) % cfg.train.eval_period == 0 or it + 1 == cfg.train.max_iter:
                 results = do_test(cfg, model, state, args, iteration=it + 1)
