@@ -32,8 +32,9 @@ def main():
     from madm_tpu.ops.attention import set_default_attention_impl
 
     # env knobs for perf sweeps: MADM_ATTENTION=xla|pallas,
-    # MADM_PARAM_DTYPE=float32|bfloat16
-    set_default_attention_impl(os.environ.get("MADM_ATTENTION", "xla"))
+    # MADM_PARAM_DTYPE=float32|bfloat16 (default: pallas on TPU)
+    if os.environ.get("MADM_ATTENTION"):
+        set_default_attention_impl(os.environ["MADM_ATTENTION"])
 
     model = MADM(MADMConfig())  # full SD-v1.4, bf16 compute
     variables = model.init_params(jax.random.PRNGKey(0))

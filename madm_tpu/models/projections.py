@@ -33,12 +33,12 @@ class BottleneckBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         in_channels = x.shape[-1]
-        gn = lambda name: GroupNorm(num_groups=32, name=name, dtype=self.dtype)
+        gn = lambda name, act=None: GroupNorm(num_groups=32, name=name, dtype=self.dtype, act=act)
         h = nn.Conv(self.bottleneck_channels, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
-        h = nn.relu(gn("norm1")(h))
+        h = gn("norm1", "relu")(h)
         h = nn.Conv(self.bottleneck_channels, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
                     dtype=self.dtype, name="conv2")(h)
-        h = nn.relu(gn("norm2")(h))
+        h = gn("norm2", "relu")(h)
         h = nn.Conv(self.out_channels, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(h)
         h = gn("norm3")(h)
         if in_channels != self.out_channels:

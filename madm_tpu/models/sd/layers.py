@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...ops.attention import dot_product_attention
+from ...ops.group_norm import group_norm
 
 
 def timestep_embedding(timesteps: jax.Array, dim: int, max_period: float = 10000.0) -> jax.Array:
@@ -32,12 +33,24 @@ def timestep_embedding(timesteps: jax.Array, dim: int, max_period: float = 10000
     return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
 
 
-class GroupNorm(nn.GroupNorm):
-    """GroupNorm with diffusers defaults (32 groups); NHWC, fp32 statistics."""
+class GroupNorm(nn.Module):
+    """GroupNorm with diffusers defaults (32 groups); NHWC, fp32 statistics.
+
+    Backed by the TPU-friendly reduction in ``madm_tpu.ops.group_norm``
+    (flax's group-reshape reduce tiles badly on TPU — see that module);
+    ``act`` fuses the following SiLU/ReLU into the normalize pass."""
 
     num_groups: int = 32
     epsilon: float = 1e-5
     dtype: Optional[jnp.dtype] = None
+    act: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return group_norm(x, scale, bias, self.num_groups, self.epsilon, self.act)
 
 
 class TimestepEmbedding(nn.Module):
@@ -68,14 +81,12 @@ class ResnetBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, temb: Optional[jax.Array] = None) -> jax.Array:
         in_channels = x.shape[-1]
-        h = GroupNorm(name="norm1", dtype=self.dtype)(x)
-        h = nn.silu(h)
+        h = GroupNorm(name="norm1", dtype=self.dtype, act="silu")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv1")(h)
         if self.use_temb and temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
             h = h + t[:, None, None, :]
-        h = GroupNorm(name="norm2", dtype=self.dtype)(h)
-        h = nn.silu(h)
+        h = GroupNorm(name="norm2", dtype=self.dtype, act="silu")(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv2")(h)
         if in_channels != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
@@ -105,9 +116,13 @@ class Upsample2D(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, out_size: Optional[tuple] = None) -> jax.Array:
         b, h, w, c = x.shape
-        if out_size is None:
-            out_size = (h * 2, w * 2)
-        x = jax.image.resize(x, (b, out_size[0], out_size[1], c), method="nearest")
+        if out_size is None or out_size == (h * 2, w * 2):
+            # 2x nearest as broadcast+reshape: avoids the gather/layout
+            # copies jax.image.resize introduces (profiled on v5e)
+            x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+            x = x.reshape(b, h * 2, w * 2, c)
+        else:
+            x = jax.image.resize(x, (b, out_size[0], out_size[1], c), method="nearest")
         return nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv")(x)
 
 

@@ -226,8 +226,7 @@ class UNet2DCondition(nn.Module):
 
         assert len(taps) == len(self.unet_block_indices)
 
-        x = GroupNorm(name="conv_norm_out", dtype=self.dtype)(x)
-        x = nn.silu(x)
+        x = GroupNorm(name="conv_norm_out", dtype=self.dtype, act="silu")(x)
         x = nn.Conv(OUT_CHANNELS, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name="conv_out")(x)
         return x, taps

@@ -103,8 +103,7 @@ class Encoder(nn.Module):
                 x = VAEDownsample(out_ch, dtype=self.dtype,
                                   name=f"down_blocks_{bi}_downsamplers_0")(x)
         x = MidBlock2D(boc[-1], dtype=self.dtype, name="mid_block")(x)
-        x = GroupNorm(name="conv_norm_out", dtype=self.dtype)(x)
-        x = nn.silu(x)
+        x = GroupNorm(name="conv_norm_out", dtype=self.dtype, act="silu")(x)
         x = nn.Conv(2 * LATENT_CHANNELS, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name="conv_out")(x)
         moments = nn.Conv(2 * LATENT_CHANNELS, (1, 1), dtype=self.dtype, name="quant_conv")(x)
@@ -144,7 +143,6 @@ class Decoder(nn.Module):
                                name=f"up_blocks_{bi}_upsamplers_0")(x)
         if not output_final:
             return None, feats
-        x = GroupNorm(name="conv_norm_out", dtype=self.dtype)(x)
-        x = nn.silu(x)
+        x = GroupNorm(name="conv_norm_out", dtype=self.dtype, act="silu")(x)
         x = nn.Conv(3, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv_out")(x)
         return x, feats

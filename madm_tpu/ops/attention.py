@@ -19,7 +19,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-_DEFAULT_IMPL = "xla"
+_DEFAULT_IMPL = None  # resolved lazily: pallas on TPU, xla elsewhere
 
 
 def set_default_attention_impl(impl: str) -> None:
@@ -29,6 +29,14 @@ def set_default_attention_impl(impl: str) -> None:
 
 
 def get_default_attention_impl() -> str:
+    global _DEFAULT_IMPL
+    if _DEFAULT_IMPL is None:
+        # measured on v5e: the flash kernel beats the einsum path ~7% on the
+        # full model; CPU/interpret environments use XLA.  (The tunneled TPU
+        # registers under platform 'axon', so check the device kind too.)
+        d = jax.devices()[0]
+        is_tpu = "tpu" in (d.platform + " " + getattr(d, "device_kind", "")).lower()
+        _DEFAULT_IMPL = "pallas" if is_tpu else "xla"
     return _DEFAULT_IMPL
 
 
@@ -44,7 +52,7 @@ def dot_product_attention(
 
     Returns [B, Sq, H, D] in q.dtype.
     """
-    impl = impl or _DEFAULT_IMPL
+    impl = impl or get_default_attention_impl()
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if impl == "pallas":

@@ -1,0 +1,92 @@
+"""UDA train-step integration test (tiny model, 1 device)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from madm_tpu.models.madm import MADM, MADMConfig
+from madm_tpu.train import (
+    TrainConfig,
+    make_optimizer,
+    make_train_state,
+    make_train_step,
+    split_trainable,
+)
+
+PALETTE = (70, 130, 180, 70, 70, 70, 190, 153, 153, 220, 20, 60, 153, 153, 153,
+           128, 64, 128, 244, 35, 232, 107, 142, 35, 0, 0, 142, 102, 102, 156,
+           250, 170, 30)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = MADMConfig(
+        num_classes=11, crop_size=(64, 64),
+        unet_channels=(32, 64, 128, 128), vae_channels=(32, 32, 64, 64),
+        feature_dims=(3, 32, 64, 128), projection_dim=(32, 32, 32, 32),
+        lora_configs=("Depth_r16_a16",), compute_dtype=jnp.float32,
+        train_palette=PALETTE,
+    )
+    model = MADM(cfg)
+    variables = model.init_params(jax.random.PRNGKey(0))
+    trainable, _ = split_trainable(variables)
+    tx = make_optimizer(trainable, max_iter=10)
+    tc = TrainConfig(max_iter=10, rev_noise_end_iter=5)
+    state = make_train_state(model, variables, tx)
+    step_fn = jax.jit(make_train_step(model, tc, tx))
+    batch = {
+        "source_rgb": jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3)),
+        "source_label": jax.random.randint(jax.random.PRNGKey(2), (2, 64, 64), 0, 11),
+        "target_second_modality": jax.random.uniform(jax.random.PRNGKey(3), (2, 64, 64, 3)),
+    }
+    new_state, metrics = step_fn(state, batch, jax.random.PRNGKey(42))
+    return model, state, new_state, metrics
+
+
+def test_metrics_finite(setup):
+    _, _, _, metrics = setup
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{k} = {v}"
+    assert float(metrics["source_loss"]) > 0
+    assert float(metrics["vae_decoder_source_loss"]) > 0
+
+
+def test_step_counter_advances(setup):
+    _, state, new_state, _ = setup
+    assert int(new_state.step) == int(state.step) + 1
+
+
+def test_trainable_updated_frozen_untouched(setup):
+    _, state, new_state, _ = setup
+    # trainable: unet conv_in changed
+    assert not np.array_equal(
+        np.asarray(state.params["unet"]["conv_in"]["kernel"]),
+        np.asarray(new_state.params["unet"]["conv_in"]["kernel"]),
+    )
+    # frozen VAE identical
+    np.testing.assert_array_equal(
+        np.asarray(state.params["vae_encoder"]["conv_in"]["kernel"]),
+        np.asarray(new_state.params["vae_encoder"]["conv_in"]["kernel"]),
+    )
+
+
+def test_ema_tracks_student(setup):
+    model, state, new_state, _ = setup
+    # after one step with alpha=0 (step 0), ema == pre-update student params
+    np.testing.assert_allclose(
+        np.asarray(new_state.ema["head"]["conv_seg"]["kernel"]),
+        np.asarray(state.params["head"]["conv_seg"]["kernel"]),
+        rtol=1e-6,
+    )
+
+
+def test_grad_clip_bounds_grad_norm(setup):
+    # grad_norm metric is pre-clip; clipping is inside the optimizer — just
+    # check the update magnitude is bounded by lr * clip-ish scale
+    model, state, new_state, metrics = setup
+    delta = np.abs(
+        np.asarray(new_state.params["head"]["conv_seg"]["kernel"])
+        - np.asarray(state.params["head"]["conv_seg"]["kernel"])
+    ).max()
+    assert delta < 1e-4  # lr 5e-6 with adam normalization
