@@ -25,6 +25,8 @@ model = L(build_madm)(
     train_palette="???",
     crop_size=[512, 512],
     compute_dtype="bfloat16",
+    # UNet gradient checkpointing for training (use_checkpoint equivalent)
+    remat=True,
 )
 
 # UDA training knobs consumed by madm_tpu.train.TrainConfig (the reference

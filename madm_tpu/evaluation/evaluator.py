@@ -31,6 +31,35 @@ from PIL import Image
 logger = logging.getLogger(__name__)
 
 
+def coco_rle_encode(mask: np.ndarray) -> dict:
+    """COCO compressed RLE of a binary [H, W] mask (pycocotools-compatible:
+    Fortran-order run lengths, LEB128-style signed-delta string encoding) —
+    pure numpy, replacing the reference's pycocotools dependency
+    (``d2_evaluator.py:281-301``)."""
+    h, w = mask.shape
+    flat = np.asfortranarray(mask).flatten(order="F").astype(np.uint8)
+    # run lengths, starting with the count of leading zeros
+    changes = np.flatnonzero(np.diff(flat)) + 1
+    bounds = np.concatenate([[0], changes, [flat.size]])
+    counts = np.diff(bounds).tolist()
+    if flat[0] == 1:
+        counts = [0] + counts
+
+    out = []
+    for i, x in enumerate(counts):
+        if i > 2:
+            x -= counts[i - 2]  # delta encoding
+        more = True
+        while more:
+            c = x & 0x1F
+            x >>= 5
+            more = (x != -1) if (c & 0x10) else (x != 0)
+            if more:
+                c |= 0x20
+            out.append(chr(c + 48))
+    return {"size": [h, w], "counts": "".join(out)}
+
+
 class DSECSemSegEvaluator:
     def __init__(
         self,
@@ -63,9 +92,22 @@ class DSECSemSegEvaluator:
     def reset(self):
         n = self._num_classes
         self._conf_matrix = np.zeros((n + 1, n + 1), dtype=np.int64)
+        self._predictions: List[dict] = []
         self.eval_index = 0
         if self._output_dir:
             os.makedirs(self._output_dir, exist_ok=True)
+
+    def encode_json_sem_seg(self, pred: np.ndarray, file_name: str) -> List[dict]:
+        """COCO-stuff-format RLE records for one prediction
+        (``d2_evaluator.py:281-301``)."""
+        return [
+            {
+                "file_name": file_name,
+                "category_id": int(label),
+                "segmentation": coco_rle_encode(pred == label),
+            }
+            for label in np.unique(pred)
+        ]
 
     def process(self, inputs: Dict, pred: np.ndarray) -> None:
         """Accumulate one image.
@@ -94,6 +136,10 @@ class DSECSemSegEvaluator:
             (self._num_classes + 1) * pred.reshape(-1) + gt.reshape(-1),
             minlength=self._conf_matrix.size,
         ).reshape(self._conf_matrix.shape)
+        if self.save_predictions_json:
+            self._predictions.extend(
+                self.encode_json_sem_seg(pred, inputs.get("file_name", ""))
+            )
         self.eval_index += 1
 
     def evaluate(self, sum_across_processes: bool = True) -> "OrderedDict":
@@ -140,6 +186,9 @@ class DSECSemSegEvaluator:
         if self._output_dir:
             with open(os.path.join(self._output_dir, "sem_seg_evaluation.json"), "w") as f:
                 json.dump({k: (None if np.isnan(v) else v) for k, v in res.items()}, f)
+            if self.save_predictions_json:
+                with open(os.path.join(self._output_dir, "sem_seg_predictions.json"), "w") as f:
+                    json.dump(self._predictions, f)
 
         self._log_per_class_table(iou, acc)
         return OrderedDict({"sem_seg": res})

@@ -44,13 +44,15 @@ def pad_to_divisible(img: jnp.ndarray, divisor: int = 64):
     return img, (h, w)
 
 
-def make_eval_fn(model, lora_name: Optional[str] = None):
+def make_eval_fn(model, lora_name: Optional[str] = None,
+                 eval_with_noise: Optional[int] = None):
     """Jitted single-pass eval: [B,H,W,3] in [0,1] -> argmax ids [B,H,W]."""
 
     @jax.jit
     def eval_fn(variables, image):
         padded, (h, w) = pad_to_divisible(image)
-        logits = model.eval_forward(variables, padded, lora_name=lora_name)
+        logits = model.eval_forward(variables, padded, lora_name=lora_name,
+                                    eval_with_noise=eval_with_noise)
         return jnp.argmax(logits[:, :h, :w], axis=-1).astype(jnp.int32)
 
     return eval_fn
@@ -88,7 +90,8 @@ def make_slide_eval_fn(model, lora_name: Optional[str] = None,
                 canvas = canvas.at[:, fy1:fy2, fx1:fx2].add(crop_f)
                 count = count.at[:, fy1:fy2, fx1:fx2].add(1.0)
             stitched[name] = canvas / count
-        logits = model.head_forward(variables, stitched)
+        # eval uses the target-modality head (mtmadise.py:685)
+        logits = model.head_forward(variables, stitched, use_sec_modal=True)
         logits = resize_bilinear(logits.astype(jnp.float32), (h, w))
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
@@ -102,6 +105,7 @@ def inference_on_dataset(
     evaluator,
     lora_name: Optional[str] = None,
     slide_inference: bool = False,
+    eval_with_noise: Optional[int] = None,
     warmup: int = 2,
 ) -> Dict:
     """Run eval over a TestLoader shard, feed the evaluator, return metrics.
@@ -111,7 +115,7 @@ def inference_on_dataset(
     eval_fn = (
         make_slide_eval_fn(model, lora_name)
         if slide_inference
-        else make_eval_fn(model, lora_name)
+        else make_eval_fn(model, lora_name, eval_with_noise)
     )
     evaluator.reset()
     total = len(loader)

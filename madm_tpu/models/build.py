@@ -36,6 +36,8 @@ def build_madm(
     compute_dtype: str = "bfloat16",
     unet_channels: Optional[Sequence[int]] = None,
     vae_channels: Optional[Sequence[int]] = None,
+    remat: bool = False,
+    sem_seg_head_sec_modal: bool = False,
     **unused,  # reference knobs without a TPU equivalent (vis etc.)
 ) -> MADM:
     cfg = MADMConfig(
@@ -60,5 +62,7 @@ def build_madm(
         else compute_dtype,
         unet_channels=tuple(unet_channels) if unet_channels else None,
         vae_channels=tuple(vae_channels) if vae_channels else None,
+        remat=remat,
+        sem_seg_head_sec_modal=sem_seg_head_sec_modal,
     )
     return MADM(cfg)

@@ -70,6 +70,10 @@ class MADMConfig:
     # width overrides (full SD-v1.4 by default; shrink for CPU tests)
     unet_channels: Optional[Tuple[int, ...]] = None
     vae_channels: Optional[Tuple[int, ...]] = None
+    # gradient rematerialization for the UNet (training memory: 860M params
+    # + Adam states leave ~2GB for activations on a 16GB v5e — remat the
+    # UNet blocks; replaces torch.utils.checkpoint, ldm_diffusers.py:377-433)
+    remat: bool = False
     # uda
     ema_alpha: float = 0.999
     pseudo_threshold: float = 0.968
@@ -103,6 +107,7 @@ class MADM:
             unet_block_indices_type=config.unet_block_indices_type,
             block_out_channels=unet_ch,
             dtype=dt,
+            remat=config.remat,
         )
         self.projections = MultiScaleProjection(
             feature_dims=config.feature_dims,
@@ -357,13 +362,20 @@ class MADM:
         variables: Dict[str, Any],
         images: jax.Array,  # [B, H, W, 3] in [0,1], H/W already sized
         lora_name: Optional[str] = None,
+        eval_with_noise: Optional[int] = None,
     ) -> jax.Array:
         """Single-pass eval: backbone('others') -> head -> upsample to input.
 
-        (reference ``mtmadise.py:657-691``.)  Returns logits [B, H, W, C].
-        """
+        (reference ``mtmadise.py:657-691``; ``eval_with_noise`` feeds a fixed
+        noise timestep at test time, ``mtmadise.py:681-682``.)
+        Returns logits [B, H, W, C]."""
+        timesteps = (
+            None if eval_with_noise is None
+            else jnp.full((images.shape[0],), eval_with_noise, jnp.int32)
+        )
         feats = self.backbone_forward(
-            variables, images, input_modal="others", lora_name=lora_name
+            variables, images, input_modal="others", lora_name=lora_name,
+            timesteps=timesteps,
         )["output_features"]
         logits = self.head_forward(variables, feats, use_sec_modal=True)
         logits = resize_bilinear(logits.astype(jnp.float32), images.shape[1:3])

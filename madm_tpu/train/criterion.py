@@ -88,6 +88,28 @@ def denoise_consistency_loss(
     return diff.mean() * pixel_weight * loss_weight
 
 
+def label_smooth_cross_entropy(
+    logits: jax.Array,  # [B, h, w, C]
+    labels: jax.Array,  # [B, H, W]
+    lb_smooth: float = 0.1,
+    pixel_weight: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Label-smoothing CE (reference ``criterion.py:8-54``, unused variant):
+    smoothed one-hot targets, mean over valid pixels."""
+    logits = _resize_logits(logits.astype(jnp.float32), labels.shape[1:3])
+    num_classes = logits.shape[-1]
+    valid = labels != IGNORE_LABEL
+    safe = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    pos, neg = 1.0 - lb_smooth, lb_smooth / num_classes
+    one_hot = jax.nn.one_hot(safe, num_classes) * (pos - neg) + neg
+    loss = -(one_hot * logp).sum(-1)
+    loss = jnp.where(valid, loss, 0.0)
+    if pixel_weight is not None:
+        loss = loss * pixel_weight
+    return loss.sum() / jnp.maximum(valid.sum(), 1)
+
+
 def feature_distance_loss(feats, ori_feats, loss_weight: float = 1.0) -> jax.Array:
     """mean MSE across tapped features (``criterion.py:144-152``)."""
     losses = [jnp.mean((a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2)

@@ -50,6 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lora_configs", default=None,
                    help="comma list like Infrared_r16_a16 ('' disables)")
     p.add_argument("--slide_inference", action="store_true")
+    p.add_argument("--eval_with_noise", type=int, default=None,
+                   help="fixed diffusion timestep at eval (mtmadise.py:681)")
     p.add_argument("--num_chips", type=int, default=None,
                    help="limit the mesh to the first N local devices")
     p.add_argument("--distributed", action="store_true",
@@ -107,11 +109,18 @@ def setup(args):
 
         jax.distributed.initialize()
 
-    from madm_tpu.config import LazyConfig
+    from madm_tpu.config import LazyConfig, auto_scale_workers
 
+    from madm_tpu.utils.collect_env import collect_env_info
+
+    logger.info("environment:\n" + collect_env_info())
     cfg = LazyConfig.load(args.config_file)
     cfg = apply_cli_mutations(cfg, args)
     LazyConfig.apply_overrides(cfg, args.opts)
+    if cfg.train.get("reference_world_size", 0):
+        import jax
+
+        cfg = auto_scale_workers(cfg, len(jax.devices()))
     os.makedirs(cfg.train.output_dir, exist_ok=True)
     with open(os.path.join(cfg.train.output_dir, "config.yaml"), "w") as f:
         f.write(LazyConfig.to_py(cfg))
@@ -180,6 +189,7 @@ def do_test(cfg, model, state, args, iteration=0):
         evaluator,
         lora_name=model.cfg.target_modality if model.lora_specs else None,
         slide_inference=args.slide_inference,
+        eval_with_noise=args.eval_with_noise,
     )
     logger.info(f"eval @ iter {iteration}: {dict(results['sem_seg'])}")
     return {k: v for k, v in results["sem_seg"].items() if not k.startswith(("IoU-", "ACC-"))}
@@ -195,6 +205,10 @@ def do_train(cfg, args):
     from madm_tpu.utils import CommonMetricPrinter, EventStorage, JSONWriter, WriterStack
 
     model, state, tx = build_model_and_state(cfg, args)
+
+    from madm_tpu.utils.parameter_count import parameter_count_table
+
+    logger.info("parameters:\n" + parameter_count_table(state.params))
 
     uda_cfg = cfg.get("uda", {})
     tc = TrainConfig(
@@ -247,6 +261,9 @@ def do_train(cfg, args):
         cfg.train.checkpointer.get("max_to_keep", 1),
     )
     best = BestCheckpointer(ckpt)
+    from madm_tpu.train.optimizer import lr_schedule
+
+    lr_sched = lr_schedule(cfg.optimizer["lr"], cfg.train.max_iter)
     storage = EventStorage(start_iter)
     writers = WriterStack(
         [JSONWriter(os.path.join(cfg.train.output_dir, "metrics.json")),
@@ -313,6 +330,7 @@ def do_train(cfg, args):
                 raise FloatingPointError(f"non-finite loss at iter {it}: {metrics}")
             storage.put_scalars(
                 **metrics, data_time=t1 - t0, time=t2 - t_last,
+                lr=float(lr_sched(it)),
             )
             t_last = t2
             writers.maybe_write(storage)

@@ -1,0 +1,84 @@
+"""RLE encoding parity vs pycocotools (when present), FDA ops, extras."""
+
+import numpy as np
+import pytest
+
+from madm_tpu.evaluation.evaluator import coco_rle_encode
+from madm_tpu.ops.fda import extract_edge_info, remove_array_amp
+
+
+def _rle_decode(rle):
+    """Decode our compressed RLE back to a mask (inverse of the encoder)."""
+    s = rle["counts"]
+    counts = []
+    i = 0
+    while i < len(s):
+        x = 0
+        k = 0
+        more = True
+        while more:
+            c = ord(s[i]) - 48
+            x |= (c & 0x1F) << (5 * k)
+            more = bool(c & 0x20)
+            i += 1
+            k += 1
+        if not more and (c & 0x10):
+            x |= -1 << (5 * k)
+        if len(counts) > 2:
+            x += counts[-2]
+        counts.append(x)
+    h, w = rle["size"]
+    flat = np.zeros(h * w, np.uint8)
+    pos = 0
+    val = 0
+    for c in counts:
+        flat[pos : pos + c] = val
+        pos += c
+        val = 1 - val
+    return flat.reshape((w, h)).T
+
+
+def test_rle_roundtrip():
+    rng = np.random.default_rng(0)
+    mask = (rng.random((17, 23)) > 0.6).astype(np.uint8)
+    rle = coco_rle_encode(mask)
+    np.testing.assert_array_equal(_rle_decode(rle), mask)
+
+
+def test_rle_matches_pycocotools_if_available():
+    pycocotools = pytest.importorskip("pycocotools.mask")
+    rng = np.random.default_rng(1)
+    mask = (rng.random((31, 19)) > 0.5).astype(np.uint8)
+    ours = coco_rle_encode(mask)
+    ref = pycocotools.encode(np.asfortranarray(mask))
+    assert ours["counts"] == ref["counts"].decode()
+
+
+def test_fda_remove_amp_preserves_shape_and_range():
+    rng = np.random.default_rng(2)
+    img = rng.uniform(0, 255, (3, 32, 32)).astype(np.float32)
+    out = remove_array_amp(img, L=0.05)
+    assert out.shape == img.shape
+    assert out.min() >= 0 and out.max() <= 255
+    assert not np.allclose(out, img)
+
+
+def test_edge_extraction():
+    img = np.zeros((16, 16), np.float32)
+    img[:, 8:] = 1.0  # vertical edge
+    edges = extract_edge_info(img)
+    assert edges.shape == (16, 16)
+    assert np.abs(edges[:, 7:9]).max() > 0.5  # strong response at the edge
+
+
+def test_label_smooth_ce():
+    import jax.numpy as jnp
+
+    from madm_tpu.train.criterion import label_smooth_cross_entropy
+
+    logits = jnp.zeros((1, 4, 4, 5))
+    labels = jnp.zeros((1, 4, 4), jnp.int32)
+    loss = label_smooth_cross_entropy(logits, labels)
+    # torch scatter_ semantics: target class SET to 0.9 (not added), others
+    # 0.02 -> targets sum to 0.98; uniform logits: loss = 0.98 * log(5)
+    np.testing.assert_allclose(float(loss), 0.98 * np.log(5), rtol=1e-5)
