@@ -75,24 +75,36 @@ class DepthwiseSeparableConvModule(nn.Module):
 
 
 class ASPPWrapper(nn.Module):
-    """Separable ASPP fusion (``daformer_head.py:414-479``, sep=True, pool=False)."""
+    """Separable ASPP fusion (``daformer_head.py:414-479``, sep=True, pool=False).
+
+    ``remat`` checkpoints each branch separately: the stride-1 ASPP's
+    activations dominate training memory on 16GB v5e, and per-branch remat
+    keeps the backward's working set to one branch at a time."""
 
     channels: int
     dilations: Sequence[int] = (1, 6, 12, 18)
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        wrap = (lambda m: nn.remat(m, static_argnums=(2,))) if self.remat else (lambda m: m)
         outs = []
         for i, d in enumerate(self.dilations):
+            xin = x
+            if self.remat and outs:
+                # identity barrier chains the branches: without it XLA
+                # schedules all rematted branch backwards concurrently and
+                # their combined working set OOMs a 16GB v5e
+                xin = jax.lax.optimization_barrier((x, outs[-1]))[0]
             if d == 1:
-                outs.append(ConvModule(self.channels, 1, dtype=self.dtype,
-                                       name=f"aspp_{i}")(x, train))
+                outs.append(wrap(ConvModule)(self.channels, 1, dtype=self.dtype,
+                                             name=f"aspp_{i}")(xin, train))
             else:
-                outs.append(DepthwiseSeparableConvModule(self.channels, d, dtype=self.dtype,
-                                                         name=f"aspp_{i}")(x, train))
+                outs.append(wrap(DepthwiseSeparableConvModule)(
+                    self.channels, d, dtype=self.dtype, name=f"aspp_{i}")(xin, train))
         x = jnp.concatenate(outs, axis=-1)
-        return ConvModule(self.channels, 3, dtype=self.dtype, name="bottleneck")(x, train)
+        return wrap(ConvModule)(self.channels, 3, dtype=self.dtype, name="bottleneck")(x, train)
 
 
 class DAFormerHead(nn.Module):
@@ -110,6 +122,7 @@ class DAFormerHead(nn.Module):
     dilations: Sequence[int] = (1, 6, 12, 18)
     dropout_ratio: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -125,7 +138,8 @@ class DAFormerHead(nn.Module):
             e = nn.Dense(self.embed_dims, dtype=self.dtype, name=f"embed_{i}")(x)
             embeds.append(resize_bilinear(e, os_size))
         x = jnp.concatenate(embeds, axis=-1)
-        x = ASPPWrapper(self.channels, self.dilations, dtype=self.dtype, name="fuse_layer")(x, train)
+        x = ASPPWrapper(self.channels, self.dilations, dtype=self.dtype,
+                        remat=self.remat, name="fuse_layer")(x, train)
         if train and self.dropout_ratio > 0 and self.has_rng("dropout"):
             # Dropout2d: drop whole channels (torch nn.Dropout2d semantics)
             x = nn.Dropout(

@@ -120,6 +120,7 @@ class MADM:
             num_classes=config.num_classes,
             channels=config.head_channels,
             dtype=dt,
+            remat=config.remat,
         )
         self.lora_specs = parse_lora_configs(config.lora_configs)
 
@@ -318,7 +319,10 @@ class MADM:
         proj_params = (
             variables["ema"]["projections"] if ema_forward else params["projections"]
         )
-        out["output_features"] = self.projections.apply({"params": proj_params}, feats)
+        proj_apply = lambda p, f: self.projections.apply({"params": p}, f)
+        if self.cfg.remat and train:
+            proj_apply = jax.checkpoint(proj_apply)
+        out["output_features"] = proj_apply(proj_params, feats)
         return out
 
     # --------------------------------------------------------------- head
@@ -349,10 +353,18 @@ class MADM:
         var_in = {"params": p, "batch_stats": bn}
         rngs = {"dropout": dropout_rng} if (train and dropout_rng is not None) else {}
         if update_bn and train:
-            logits, mut = self.head.apply(
-                var_in, features, train=True, rngs=rngs, mutable=["batch_stats"]
-            )
-            return logits, mut["batch_stats"]
+            def apply_fn(v, f):
+                logits, mut = self.head.apply(
+                    v, f, train=True, rngs=rngs, mutable=["batch_stats"]
+                )
+                return logits, mut["batch_stats"]
+
+            if self.cfg.remat:
+                # outer remat drops the embeds/concat from the global
+                # backward's saved set; the inner per-branch remat (ASPPWrapper)
+                # chunks the recomputed backward's working set
+                apply_fn = jax.checkpoint(apply_fn)
+            return apply_fn(var_in, features)
         logits = self.head.apply(var_in, features, train=train, rngs=rngs)
         return logits
 

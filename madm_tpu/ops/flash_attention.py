@@ -69,7 +69,6 @@ def _pick_bq(sq: int, sk_pad: int, d: int, itemsize: int) -> int:
     return min(8, sq)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
 def flash_attention(
     q: jax.Array,  # [B, Sq, H, D]
     k: jax.Array,  # [B, Sk, H, D]
@@ -77,8 +76,45 @@ def flash_attention(
     scale: float | None = None,
     interpret: bool = False,
 ) -> jax.Array:
+    """Differentiable wrapper: Pallas forward, XLA-recompute backward.
+
+    The backward re-derives the attention via the einsum formulation and
+    jax.vjp (flash-style recomputation: no scores were saved).  A dedicated
+    backward kernel can replace it later without changing the API."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    return _flash_attention_vjp(q, k, v, scale, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash_attention_vjp(q, k, v, scale, interpret):
+    return _flash_attention_fwd_impl(q, k, v, scale=scale, interpret=interpret)
+
+
+def _fa_fwd(q, k, v, scale, interpret):
+    out = _flash_attention_fwd_impl(q, k, v, scale=scale, interpret=interpret)
+    return out, (q, k, v)
+
+
+def _fa_bwd(scale, interpret, res, g):
+    from .attention import _xla_attention
+
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_attention(q_, k_, v_, scale), q, k, v)
+    return vjp(g)
+
+
+_flash_attention_vjp.defvjp(_fa_fwd, _fa_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def _flash_attention_fwd_impl(
+    q: jax.Array,  # [B, Sq, H, D]
+    k: jax.Array,  # [B, Sk, H, D]
+    v: jax.Array,
+    scale: float,
+    interpret: bool = False,
+) -> jax.Array:
     b, sq, h, d = q.shape
     sk = k.shape[1]
 

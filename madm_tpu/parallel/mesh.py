@@ -53,14 +53,66 @@ def replicate(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, r), tree)
 
 
-def make_sharded_train_step(step_fn, mesh: Mesh):
-    """jit the train step with state replicated and the batch data-sharded.
+def zero1_sharding(tree, mesh: Mesh):
+    """ZeRO-1-style sharding spec for an optimizer-state pytree.
 
-    Under GSPMD the loss means over the global batch make the gradient
-    all-reduce implicit — no explicit collectives needed (SURVEY.md §5
-    'Distributed communication backend')."""
+    Each leaf is sharded over the ``data`` axis along its first
+    evenly-divisible dimension (scalars and indivisible leaves stay
+    replicated).  Adam's m/v are the dominant training memory after the
+    params themselves (SURVEY.md §2.3: 'optional optimizer-state sharding
+    axis if v5e memory demands'); under GSPMD the moment update runs sharded
+    and the parameter update all-gathers implicitly.
+    """
+    n = mesh.shape["data"]
+
+    def spec(leaf):
+        if not hasattr(leaf, "shape"):
+            return NamedSharding(mesh, P())
+        for i, d in enumerate(leaf.shape):
+            if d % n == 0 and d >= n:
+                return NamedSharding(mesh, P(*([None] * i + ["data"])))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(spec, tree)
+
+
+def shard_opt_state(mesh: Mesh, opt_state):
+    """Device-put an optimizer state with ZeRO-1 sharding."""
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, s), opt_state, zero1_sharding(opt_state, mesh)
+    )
+
+
+def place_state(mesh: Mesh, state, zero1: bool = True):
+    """Place a TrainState on the mesh: replicated, with the optimizer state
+    ZeRO-1-sharded when the data axis has more than one device."""
+    state = replicate(mesh, state)
+    if zero1 and mesh.shape["data"] > 1:
+        state = state.replace(opt_state=shard_opt_state(mesh, state.opt_state))
+    return state
+
+
+def make_sharded_train_step(step_fn, mesh: Mesh, state=None, zero1: bool = True):
+    """jit the train step with the batch data-sharded.
+
+    Params/EMA/consts are replicated; with ``zero1`` (and a ``state``
+    template) the optimizer state is sharded over the data axis.  Under GSPMD
+    the loss means over the global batch make the gradient all-reduce
+    implicit — no explicit collectives needed (SURVEY.md §5 'Distributed
+    communication backend')."""
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
+    if zero1 and state is not None and mesh.shape["data"] > 1:
+        state_shardings = jax.tree.map(lambda _: rep, state)
+        state_shardings = state_shardings.replace(
+            opt_state=zero1_sharding(state.opt_state, mesh)
+        )
+        return jax.jit(
+            step_fn,
+            in_shardings=(state_shardings, bsh, rep),
+            out_shardings=(state_shardings, rep),
+            donate_argnums=0,
+        )
     return jax.jit(
         step_fn,
         in_shardings=(rep, bsh, rep),

@@ -78,11 +78,16 @@ def make_optimizer(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
+    mu_dtype: Optional[str] = None,
 ) -> optax.GradientTransformation:
-    """AdamW over the *trainable* tree (vae excluded by the caller)."""
+    """AdamW over the *trainable* tree (vae excluded by the caller).
+
+    ``mu_dtype='bfloat16'`` halves the first-moment memory — useful on 16GB
+    v5e where fp32 params + Adam states + grads leave little headroom."""
     sched = lr_schedule(base_lr, max_iter)
     adamw = optax.adamw(
-        sched, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay, mask=wd_mask
+        sched, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay, mask=wd_mask,
+        mu_dtype=mu_dtype,
     )
     if unet_lr is not None:
         ratio = unet_lr / base_lr

@@ -178,14 +178,73 @@ def make_train_step(model: MADM, tc: TrainConfig, tx):
         t_pl = rev_noise_timestep(k_revt, step.astype(jnp.float32), tc)
 
         _, frozen = split_trainable({"params": ts.params})
+        base_vars = {
+            "params": ts.params, "ema": ema, "state": ts.state, "consts": ts.consts,
+        }
 
-        def loss_fn(trainable):
+        # ------------- teacher pseudo-labels (no grad; outside the grad
+        # passes so its activations never enter the backward working set) ---
+        tch_out = model.backbone_forward(
+            base_vars, target, input_modal="others", lora_name=tgt_lora,
+            ema_forward=True,
+            timesteps=jnp.broadcast_to(t_pl, (b,)),
+        )
+        # torch quirk kept: the EMA head is in train() mode during
+        # pseudo-labeling, so dropout is active in the teacher too
+        ema_logits, ema_bn = model.head_forward(
+            base_vars, tch_out["output_features"], ema_forward=True,
+            train=True, dropout_rng=k_drop3, update_bn=True,
+        )
+        ema_logits = criterion._resize_logits(
+            ema_logits.astype(jnp.float32), target.shape[1:3]
+        )
+        ema_sm = jax.nn.softmax(jax.lax.stop_gradient(ema_logits), axis=-1)
+        pseudo_prob = ema_sm.max(axis=-1)
+        pseudo_label = ema_sm.argmax(axis=-1).astype(jnp.int32)
+        # per-sample confident fraction: identical to the reference's
+        # per-rank scalar at its shipped local batch of 1
+        # (cmdise.py:498-502), and shard-local under data parallelism
+        pseudo_val = (pseudo_prob >= tc.pseudo_threshold).mean(axis=(1, 2))
+        pseudo_weight = jnp.broadcast_to(
+            pseudo_val[:, None, None], pseudo_prob.shape
+        )
+        if tc.pl_crop:
+            pseudo_weight = pseudo_weight.at[:, : tc.psweight_ignore_top, :].set(0.0)
+
+        if tc.enable_mixup:
+            mixed_lbl = dacs.one_mix(
+                mix_mask, gt.astype(jnp.float32), pseudo_label.astype(jnp.float32)
+            ).astype(jnp.int32)
+            mixed_w = dacs.one_mix(mix_mask, jnp.ones_like(pseudo_weight), pseudo_weight)
+        else:
+            mixed_lbl, mixed_w = pseudo_label, pseudo_weight
+
+        # reg_uncertain palette-distance PL — vis/metric only in the
+        # shipped path (mtmadise.py:327-333)
+        if tc.reg_uncertain and mcfg.use_s0:
+            dec01 = (tch_out["after_vae_decoder"].astype(jnp.float32) + 1) / 2
+            reg_prob, _, _ = palette.palette_distance_pseudo_label(dec01, class_table)
+        else:
+            reg_prob = jnp.zeros(())
+
+        # palette-rendered targets (frozen VAE; no grad)
+        src_gt_lat = src_valid = tgt_gt_lat = tgt_mask = pl_color_lat = None
+        if "s" in tc.vae_decoder_loss:
+            src_gt_lat, src_valid = encode_palette(base_vars, gt)
+        if "t" in tc.vae_decoder_loss:
+            tgt_gt_lat, tgt_valid = encode_palette(base_vars, mixed_lbl)
+            tgt_mask = tgt_valid * pseudo_weight[..., None]
+        if tc.mic_reg or tc.denoise_supervise:
+            pl_color_lat, _ = encode_palette(base_vars, pseudo_label)
+            pv = pseudo_val.mean()
+
+        # ------------- grad pass 1: source (student, rgb) ------------------
+        # gradients are linear: grad(source losses) + grad(mixed losses) ==
+        # grad(total); computing them in two value_and_grad calls keeps only
+        # one pass's activations live in each backward (memory: 16GB v5e)
+        def loss_src(trainable):
             params = merge_trainable(trainable, frozen)
-            variables = {
-                "params": params, "ema": ema, "state": ts.state, "consts": ts.consts,
-            }
-
-            # ------------- source pass (student, rgb) ---------------------
+            variables = {**base_vars, "params": params}
             src_out = model.backbone_forward(
                 variables, source, input_modal="rgb", lora_name=src_lora, train=True,
             )
@@ -193,54 +252,31 @@ def make_train_step(model: MADM, tc: TrainConfig, tx):
                 variables, src_out["output_features"], train=True,
                 dropout_rng=k_drop1, update_bn=True,
             )
+            losses = {"source_loss": criterion.cross_entropy(src_logits, gt)}
+            if tc.fd:
+                ori_params = {**params, "unet": ts.consts["ori_unet"],
+                              "prompt": ts.consts["ori_prompt"]}
+                ori_out = model.backbone_forward(
+                    {**variables, "params": ori_params}, source,
+                    input_modal="rgb", lora_name=None,
+                )
+                losses["feature_distance_loss"] = criterion.feature_distance_loss(
+                    src_out["unet_taps"],
+                    [jax.lax.stop_gradient(t) for t in ori_out["unet_taps"]],
+                    tc.fd,
+                )
+            if "s" in tc.vae_decoder_loss:
+                losses["vae_decoder_source_loss"] = criterion.vae_decoder_loss(
+                    src_out["before_vae_decoder"], src_gt_lat, src_valid,
+                    tc.vae_decoder_loss_type, tc.vae_decoder_loss_weight[0],
+                )
+            return sum(losses.values()), (losses, bn1)
 
-            # ------------- teacher pseudo-labels (no grad) ----------------
-            tch_out = model.backbone_forward(
-                variables, target, input_modal="others", lora_name=tgt_lora,
-                ema_forward=True,
-                timesteps=jnp.broadcast_to(t_pl, (b,)),
-            )
-            # torch quirk kept: the EMA head is in train() mode during
-            # pseudo-labeling, so dropout is active in the teacher too
-            ema_logits, ema_bn = model.head_forward(
-                variables, tch_out["output_features"], ema_forward=True,
-                train=True, dropout_rng=k_drop3, update_bn=True,
-            )
-            ema_logits = criterion._resize_logits(
-                ema_logits.astype(jnp.float32), target.shape[1:3]
-            )
-            ema_sm = jax.nn.softmax(jax.lax.stop_gradient(ema_logits), axis=-1)
-            pseudo_prob = ema_sm.max(axis=-1)
-            pseudo_label = ema_sm.argmax(axis=-1).astype(jnp.int32)
-            # per-sample confident fraction: identical to the reference's
-            # per-rank scalar at its shipped local batch of 1
-            # (cmdise.py:498-502), and shard-local under data parallelism
-            pseudo_val = (pseudo_prob >= tc.pseudo_threshold).mean(axis=(1, 2))
-            pseudo_weight = jnp.broadcast_to(
-                pseudo_val[:, None, None], pseudo_prob.shape
-            )
-            if tc.pl_crop:
-                pseudo_weight = pseudo_weight.at[:, : tc.psweight_ignore_top, :].set(0.0)
-
-            if tc.enable_mixup:
-                mixed_lbl = dacs.one_mix(
-                    mix_mask, gt.astype(jnp.float32), pseudo_label.astype(jnp.float32)
-                ).astype(jnp.int32)
-                mixed_w = dacs.one_mix(mix_mask, jnp.ones_like(pseudo_weight), pseudo_weight)
-            else:
-                mixed_lbl, mixed_w = pseudo_label, pseudo_weight
-
-            # reg_uncertain palette-distance PL — vis/metric only in the
-            # shipped path (mtmadise.py:327-333)
-            if tc.reg_uncertain and mcfg.use_s0:
-                dec01 = (tch_out["after_vae_decoder"].astype(jnp.float32) + 1) / 2
-                reg_prob, _, _ = palette.palette_distance_pseudo_label(dec01, class_table)
-            else:
-                reg_prob = jnp.zeros(())
-
-            # ------------- mixed pass (student, target adapter) -----------
-            state1 = {**ts.state, "head_bn": bn1}
-            var1 = {**variables, "state": state1}
+        # ------------- grad pass 2: mixed/target (student, adapter) --------
+        def loss_mix(trainable, bn1):
+            params = merge_trainable(trainable, frozen)
+            var1 = {**base_vars, "params": params,
+                    "state": {**ts.state, "head_bn": bn1}}
             mix_out = model.backbone_forward(
                 var1, mixed_img, input_modal="mixed", lora_name=tgt_lora, train=True,
             )
@@ -248,15 +284,11 @@ def make_train_step(model: MADM, tc: TrainConfig, tx):
                 var1, mix_out["output_features"], train=True,
                 dropout_rng=k_drop2, update_bn=True, use_sec_modal=True,
             )
-
             losses = {
-                "source_loss": criterion.cross_entropy(src_logits, gt),
                 "target_loss": criterion.cross_entropy(
                     mix_logits, mixed_lbl, pixel_weight=mixed_w
                 ),
             }
-
-            # ------------- MIC / denoise-supervise extras -----------------
             if tc.mic or tc.mic_reg:
                 masked_img = dacs.strong_transform(
                     k_micjit, target, tc.color_jitter_strength,
@@ -276,70 +308,48 @@ def make_train_step(model: MADM, tc: TrainConfig, tx):
                     losses["masked_prompt_consistency_loss"] = criterion.cross_entropy(
                         mic_logits, pseudo_label, pixel_weight=pseudo_weight
                     )
-            if tc.mic_reg or tc.denoise_supervise:
-                pl_color_lat, _ = encode_palette(variables, pseudo_label)
-                pv = pseudo_val.mean()
-            if tc.mic_reg:
-                losses["mic_vae_decoder_loss"] = criterion.denoise_consistency_loss(
-                    mic_out["before_vae_decoder"], pl_color_lat,
-                    1.0 if tc.mic_reg_wo_pl_val else pv,
-                    tc.vae_decoder_loss_type, tc.mic_reg,
-                )
+                if tc.mic_reg:
+                    losses["mic_vae_decoder_loss"] = criterion.denoise_consistency_loss(
+                        mic_out["before_vae_decoder"], pl_color_lat,
+                        1.0 if tc.mic_reg_wo_pl_val else pv,
+                        tc.vae_decoder_loss_type, tc.mic_reg,
+                    )
             if tc.denoise_supervise:
                 lo, hi = tc.denoise_timestep_range
                 t_ds = jax.random.randint(k_dst, (b,), lo, hi + 1)
                 ds_out = model.backbone_forward(
-                    variables, target, input_modal="others", lora_name=tgt_lora,
+                    var1, target, input_modal="others", lora_name=tgt_lora,
                     timesteps=t_ds, train=True,
                 )
                 losses["denoise_consistency_loss"] = criterion.denoise_consistency_loss(
                     ds_out["before_vae_decoder"], pl_color_lat, pv,
                     tc.vae_decoder_loss_type, tc.denoise_supervise,
                 )
-
-            # ------------- feature distance vs frozen init UNet ------------
-            if tc.fd:
-                ori_params = {**params, "unet": ts.consts["ori_unet"],
-                              "prompt": ts.consts["ori_prompt"]}
-                ori_out = model.backbone_forward(
-                    {**variables, "params": ori_params}, source,
-                    input_modal="rgb", lora_name=None,
-                )
-                losses["feature_distance_loss"] = criterion.feature_distance_loss(
-                    src_out["unet_taps"],
-                    [jax.lax.stop_gradient(t) for t in ori_out["unet_taps"]],
-                    tc.fd,
-                )
-
-            # ------------- palette regression losses ----------------------
-            if "s" in tc.vae_decoder_loss:
-                src_gt_lat, src_valid = encode_palette(variables, gt)
-                losses["vae_decoder_source_loss"] = criterion.vae_decoder_loss(
-                    src_out["before_vae_decoder"], src_gt_lat, src_valid,
-                    tc.vae_decoder_loss_type, tc.vae_decoder_loss_weight[0],
-                )
             if "t" in tc.vae_decoder_loss:
-                tgt_gt_lat, tgt_valid = encode_palette(variables, mixed_lbl)
-                tgt_mask = tgt_valid * pseudo_weight[..., None]
                 losses["vae_decoder_target_loss"] = criterion.vae_decoder_loss(
                     mix_out["before_vae_decoder"], tgt_gt_lat, tgt_mask,
                     tc.vae_decoder_loss_type, tc.vae_decoder_loss_weight[1],
                 )
-
-            total = sum(losses.values())
-            if mcfg.sem_seg_head_sec_modal:
-                new_state = {"head_bn": bn1, "head_sec_bn": bn2, "ema_head_bn": ema_bn}
-            else:
-                new_state = {"head_bn": bn2, "ema_head_bn": ema_bn}
-            metrics = {**losses, "total_loss": total,
-                       "pseudo_val": jnp.mean(pseudo_val),
-                       "reg_prob_mean": jnp.mean(reg_prob)}
-            return total, (metrics, new_state)
+            return sum(losses.values()), (losses, bn2)
 
         trainable, _ = split_trainable({"params": ts.params})
-        (_, (metrics, new_state)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            trainable
-        )
+        (_, (losses_src, bn1)), grads_src = jax.value_and_grad(
+            loss_src, has_aux=True
+        )(trainable)
+        (_, (losses_mix, bn2)), grads_mix = jax.value_and_grad(
+            loss_mix, has_aux=True
+        )(trainable, bn1)
+        grads = jax.tree.map(jnp.add, grads_src, grads_mix)
+
+        losses = {**losses_src, **losses_mix}
+        total = sum(losses.values())
+        if mcfg.sem_seg_head_sec_modal:
+            new_state = {"head_bn": bn1, "head_sec_bn": bn2, "ema_head_bn": ema_bn}
+        else:
+            new_state = {"head_bn": bn2, "ema_head_bn": ema_bn}
+        metrics = {**losses, "total_loss": total,
+                   "pseudo_val": jnp.mean(pseudo_val),
+                   "reg_prob_mean": jnp.mean(reg_prob)}
         gnorm = optax.global_norm(grads)
         updates, new_opt = tx.update(grads, ts.opt_state, trainable)
         new_trainable = optax.apply_updates(trainable, updates)

@@ -161,6 +161,7 @@ def build_model_and_state(cfg, args):
         b1=opt.get("betas", (0.9, 0.999))[0],
         b2=opt.get("betas", (0.9, 0.999))[1],
         eps=opt.get("eps", 1e-8),
+        mu_dtype=opt.get("mu_dtype"),
     )
     state = make_train_state(model, variables, tx)
     return model, state, tx
@@ -200,7 +201,7 @@ def do_train(cfg, args):
 
     from madm_tpu.checkpoint import BestCheckpointer, Checkpointer, PeriodicCheckpointer
     from madm_tpu.config import instantiate
-    from madm_tpu.parallel import make_mesh, make_sharded_train_step, replicate, shard_batch
+    from madm_tpu.parallel import make_mesh, make_sharded_train_step, place_state, shard_batch
     from madm_tpu.train import TrainConfig, make_train_step
     from madm_tpu.utils import CommonMetricPrinter, EventStorage, JSONWriter, WriterStack
 
@@ -252,8 +253,8 @@ def do_train(cfg, args):
     state, resumed = ckpt.resume_or_load(state, args.init_from, args.resume, model)
     start_iter = int(state.step)
 
-    step_fn = make_sharded_train_step(make_train_step(model, tc, tx), mesh)
-    state = replicate(mesh, state)
+    step_fn = make_sharded_train_step(make_train_step(model, tc, tx), mesh, state)
+    state = place_state(mesh, state)
 
     loader = instantiate(cfg.dataloader.train)
     periodic = PeriodicCheckpointer(
