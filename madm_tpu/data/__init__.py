@@ -1,4 +1,6 @@
+from . import native  # noqa: F401
 from .dataset import CrossModalityDataset, get_rcs_class_probs
+from .multi_modality import MultiModalityDataset
 from .loader import (
     TestLoader,
     TrainLoader,
@@ -8,6 +10,8 @@ from .loader import (
 
 __all__ = [
     "CrossModalityDataset",
+    "MultiModalityDataset",
+    "native",
     "get_rcs_class_probs",
     "TrainLoader",
     "TestLoader",

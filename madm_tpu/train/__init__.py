@@ -1,5 +1,11 @@
 from . import criterion, ema, optimizer, train_step  # noqa: F401
-from .train_step import TrainConfig, TrainState, make_train_state, make_train_step
+from .train_step import (
+    TrainConfig,
+    TrainState,
+    add_feature_distance_baseline,
+    make_train_state,
+    make_train_step,
+)
 from .optimizer import make_optimizer, split_trainable, merge_trainable
 
 __all__ = [
@@ -8,6 +14,7 @@ __all__ = [
     "optimizer",
     "train_step",
     "TrainConfig",
+    "add_feature_distance_baseline",
     "TrainState",
     "make_train_state",
     "make_train_step",

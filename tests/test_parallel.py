@@ -58,6 +58,25 @@ def test_sharded_eval_matches_single_device(tiny_model):
     assert agree > 0.999, f"agreement {agree}"
 
 
+def test_zero1_sharding_specs():
+    import optax
+
+    from madm_tpu.parallel import zero1_sharding
+
+    mesh = make_mesh(jax.devices()[:8])
+    params = {
+        "w": jnp.zeros((320, 4)),      # axis 0 divisible by 8
+        "k": jnp.zeros((3, 3, 4, 320)),  # only axis 3 divisible
+        "b": jnp.zeros((7,)),          # nothing divisible -> replicated
+    }
+    opt = optax.adamw(1e-3).init(params)
+    sh = zero1_sharding(opt, mesh)
+    mu = sh[0].mu
+    assert mu["w"].spec == jax.sharding.PartitionSpec("data")
+    assert mu["k"].spec == jax.sharding.PartitionSpec(None, None, None, "data")
+    assert mu["b"].spec == jax.sharding.PartitionSpec()
+
+
 def test_shard_batch_places_on_data_axis(tiny_model):
     mesh = make_mesh(jax.devices()[:8])
     batch = shard_batch(mesh, {"x": jnp.zeros((8, 4))})
