@@ -95,17 +95,35 @@ class CommonMetricPrinter:
 
 class WandbWriter:
     """Optional wandb logging (reference ``utils/events.py:12-93``); no-op
-    when wandb is not installed or disabled."""
+    when wandb is not installed or disabled.
+
+    Run resumption mirrors the reference's manually managed
+    ``wandb-resume.json`` (``utils/events.py:56-66``): the run id is stored in
+    ``output_dir`` and reused on ``resume=True``."""
 
     def __init__(self, project: str = "madm_tpu", name: Optional[str] = None,
-                 enabled: bool = True, **kwargs):
+                 enabled: bool = True, resume: bool = False,
+                 output_dir: Optional[str] = None, **kwargs):
         self._run = None
         if not enabled:
             return
         try:
             import wandb
 
-            self._run = wandb.init(project=project, name=name, **kwargs)
+            run_id = None
+            resume_file = (
+                os.path.join(output_dir, "wandb-resume.json") if output_dir else None
+            )
+            if resume and resume_file and os.path.exists(resume_file):
+                with open(resume_file) as f:
+                    run_id = json.load(f).get("run_id")
+            self._run = wandb.init(
+                project=project, name=name, id=run_id,
+                resume="must" if run_id else None, **kwargs,
+            )
+            if resume_file:
+                with open(resume_file, "w") as f:
+                    json.dump({"run_id": self._run.id}, f)
         except Exception as e:  # pragma: no cover - wandb not in image
             logger.info(f"wandb disabled: {e}")
 

@@ -266,11 +266,19 @@ def do_train(cfg, args):
 
     lr_sched = lr_schedule(cfg.optimizer["lr"], cfg.train.max_iter)
     storage = EventStorage(start_iter)
-    writers = WriterStack(
-        [JSONWriter(os.path.join(cfg.train.output_dir, "metrics.json")),
-         CommonMetricPrinter(cfg.train.max_iter)],
-        period=cfg.train.get("log_period", 50),
-    )
+    writer_list = [JSONWriter(os.path.join(cfg.train.output_dir, "metrics.json")),
+                   CommonMetricPrinter(cfg.train.max_iter)]
+    wandb_cfg = cfg.train.get("wandb", {})
+    if wandb_cfg.get("enable_writer"):
+        from madm_tpu.utils import WandbWriter
+
+        writer_list.append(WandbWriter(
+            project=wandb_cfg.get("project", "MADM_TPU"),
+            name=cfg.train.get("run_tag") or None,
+            resume=wandb_cfg.get("resume", False),
+            output_dir=cfg.train.output_dir,
+        ))
+    writers = WriterStack(writer_list, period=cfg.train.get("log_period", 50))
 
     # periodic training-vis grids (reference VisHook / mtmadise.py:551-653)
     vis_period = cfg.train.get("vis_period", 0)
