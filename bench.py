@@ -56,7 +56,7 @@ def main():
 
     best = 0.0
     best_bs = 0
-    for bs in (1, 4, 8, 16):
+    for bs in (1, 4, 8, 12):
         try:
             images = jnp.zeros((bs, 512, 512, 3), jnp.float32)
             float(eval_fn(variables, images))  # compile + warmup (fetch syncs)

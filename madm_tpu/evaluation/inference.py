@@ -120,16 +120,23 @@ def inference_on_dataset(
     evaluator.reset()
     total = len(loader)
     t_data = t_compute = 0.0
-    start = time.perf_counter()
-    last = start
+    last = time.perf_counter()
+
+    # pipelined loop: dispatch image i+1 before fetching prediction i, so
+    # host decode + conf-matrix accumulation overlap device compute (jax
+    # dispatch is async; the fetch in np.asarray is the sync point).  The
+    # reference loops strictly sequentially (evaluation/evaluator.py:79-102).
+    pending = None  # (sample, device_pred)
     for i, sample in enumerate(loader):
         now = time.perf_counter()
         t_data += now - last
-        pred = eval_fn(variables, jnp.asarray(sample["target_second_modality"]))
-        pred = np.asarray(pred[0])
+        dev_pred = eval_fn(variables, jnp.asarray(sample["target_second_modality"]))
+        if pending is not None:
+            prev_sample, prev_pred = pending
+            evaluator.process(prev_sample, np.asarray(prev_pred[0]))
+        pending = (sample, dev_pred)
         now2 = time.perf_counter()
         t_compute += now2 - now
-        evaluator.process(sample, pred)
         last = time.perf_counter()
         if i == warmup - 1:  # exclude compile from steady-state stats
             t_data = t_compute = 0.0
@@ -142,4 +149,7 @@ def inference_on_dataset(
                     f"compute {t_compute / done:.3f}s/iter "
                     f"data {t_data / done:.3f}s/iter eta {eta:.0f}s"
                 )
+    if pending is not None:
+        prev_sample, prev_pred = pending
+        evaluator.process(prev_sample, np.asarray(prev_pred[0]))
     return evaluator.evaluate()
