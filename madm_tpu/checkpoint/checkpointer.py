@@ -89,9 +89,21 @@ class Checkpointer:
             logger.info(f"resuming from {name}")
             return self.load(name, state), True
         if init_from:
+            logger.info(f"initializing from {init_from}")
+            if os.path.isdir(init_from):
+                # an orbax checkpoint: either a save dir (model_*/...) or an
+                # output dir containing last_checkpoint
+                src = Checkpointer(init_from)
+                name = src.last_checkpoint()
+                if name is not None:
+                    return src.load(name, state), False
+                if os.path.exists(os.path.join(init_from, "_METADATA")):
+                    parent = Checkpointer(os.path.dirname(init_from.rstrip("/")))
+                    return parent.load(os.path.basename(init_from.rstrip("/")), state), False
+                raise FileNotFoundError(f"no orbax checkpoint under {init_from}")
+
             from .converter import convert_madm_pth, merge_into_variables
 
-            logger.info(f"initializing from {init_from}")
             converted = convert_madm_pth(init_from)
             variables = {
                 "params": state.params, "ema": state.ema, "state": state.state,
