@@ -10,9 +10,11 @@ from madm_tpu.ops.attention import _xla_attention
 
 def _run_pallas_interpret(q, k, v, scale):
     """Run the kernel in interpreter mode (no TPU on the test host)."""
-    from madm_tpu.ops import flash_attention as fa
+    # note: madm_tpu.ops re-exports the function under the same name as the
+    # submodule — import the function directly
+    from madm_tpu.ops.flash_attention import flash_attention
 
-    return fa.flash_attention(q, k, v, scale=scale, interpret=True)
+    return flash_attention(q, k, v, scale=scale, interpret=True)
 
 
 @pytest.mark.parametrize(
