@@ -79,6 +79,13 @@ class TrainConfig:
     # (mtmadise.py:228-238,533-547); 0 = off; requires
     # ``add_feature_distance_baseline`` having stored the init copies
     fd: float = 0.0
+    # noise regularization (mtmadise.py:446-463,522-528): student decoder
+    # latent on strong-augmented target vs teacher-at-noise-t PL palette
+    # latent.  NOTE: dead code in the reference — its criterion never
+    # consumes the 'noise_reg_loss' key (criterion.py:155-254); here it is
+    # a working loss.  0 = off (matching the shipped configs AND the
+    # reference's effective behavior)
+    noise_reg: float = 0.0
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -153,7 +160,7 @@ def make_train_step(model: MADM, tc: TrainConfig, tx):
     def step_fn(ts: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
         step = ts.step
         (k_mask, k_jitter, k_revt, k_drop1, k_drop2, k_drop3,
-         k_micjit, k_micmask, k_micdrop, k_dst) = jax.random.split(rng, 10)
+         k_micjit, k_micmask, k_micdrop, k_dst, k_nrjit, k_nrt) = jax.random.split(rng, 12)
 
         # ---------------- EMA teacher update (cmdise.py:337-349) ----------
         alpha = ema_alpha(step.astype(jnp.float32), tc.ema_alpha)
@@ -237,6 +244,24 @@ def make_train_step(model: MADM, tc: TrainConfig, tx):
         if tc.mic_reg or tc.denoise_supervise:
             pl_color_lat, _ = encode_palette(base_vars, pseudo_label)
             pv = pseudo_val.mean()
+
+        # noise-reg target: teacher PL at an extra noise timestep, rendered
+        # to palette latent (mtmadise.py:458-463)
+        if tc.noise_reg:
+            lo, hi = tc.denoise_timestep_range
+            t_nr = jax.random.randint(k_nrt, (b,), lo, hi + 1)
+            nr_out = model.backbone_forward(
+                base_vars, target, input_modal="others", lora_name=tgt_lora,
+                ema_forward=True, timesteps=t_nr,
+            )
+            nr_logits = model.head_forward(
+                base_vars, nr_out["output_features"], ema_forward=True,
+            )
+            nr_logits = criterion._resize_logits(
+                nr_logits.astype(jnp.float32), target.shape[1:3]
+            )
+            nr_pl = jnp.argmax(nr_logits, axis=-1).astype(jnp.int32)
+            nr_color_lat, _ = encode_palette(base_vars, nr_pl)
 
         # ------------- grad pass 1: source (student, rgb) ------------------
         # gradients are linear: grad(source losses) + grad(mixed losses) ==
@@ -329,6 +354,19 @@ def make_train_step(model: MADM, tc: TrainConfig, tx):
                 losses["vae_decoder_target_loss"] = criterion.vae_decoder_loss(
                     mix_out["before_vae_decoder"], tgt_gt_lat, tgt_mask,
                     tc.vae_decoder_loss_type, tc.vae_decoder_loss_weight[1],
+                )
+            if tc.noise_reg:
+                aug_target = jax.lax.stop_gradient(dacs.strong_transform(
+                    k_nrjit, target, tc.color_jitter_strength,
+                    tc.color_jitter_probability, tc.blur,
+                ))
+                nr_student = model.backbone_forward(
+                    var1, aug_target, input_modal="others", lora_name=tgt_lora,
+                    train=True,
+                )
+                losses["noise_reg_loss"] = criterion.denoise_consistency_loss(
+                    nr_student["before_vae_decoder"], nr_color_lat, 1.0,
+                    tc.vae_decoder_loss_type, tc.noise_reg,
                 )
             return sum(losses.values()), (losses, bn2)
 
