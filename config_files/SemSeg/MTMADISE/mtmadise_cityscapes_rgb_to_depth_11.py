@@ -25,19 +25,18 @@ train.amp["enabled"] = True  # --amp (bf16 on TPU)
 dataloader.train.dataset.rare_class_sample = True  # --rare_class_sample
 model.same_cond_params = True  # --same_cond_params
 
-uda["rev_noise_sup"] = True  # --rev_noise_sup
-uda["rev_noise_end_iter"] = 5000  # --rev_noise_end_iter 5000
-uda["rev_noise_gradually"] = True  # --rev_noise_gradually
-uda["denoise_timestep_range"] = [60, 61]  # --denoise_timestep_range 60 61
+model.rev_noise_sup = True  # --rev_noise_sup
+model.rev_noise_end_iter = 5000  # --rev_noise_end_iter 5000
+model.rev_noise_gradually = True  # --rev_noise_gradually
+model.denoise_timestep_range = [60, 61]  # --denoise_timestep_range 60 61
 # --vae_decoder_loss st
-uda["vae_decoder_loss"] = "st"
 model.vae_decoder_loss = "st"
 model.feature_dims[0] = 3
 model.projection_dim[0] = 128
 model.out_features[0] = "s0"
 model.in_keys[0] = "s0"
-uda["reg_uncertain"] = True  # --reg_uncertain
-uda["vae_decoder_loss_type"] = "L1"  # --vae_decoder_loss_type L1
-uda["vae_decoder_loss_weight"] = [1.0, 1.0]  # --vae_decoder_loss_weight 1.0 1.0
+model.reg_uncertain = True  # --reg_uncertain
+model.vae_decoder_loss_type = "L1"  # --vae_decoder_loss_type L1
+model.vae_decoder_loss_weight = [1.0, 1.0]  # --vae_decoder_loss_weight 1.0 1.0
 
 # python main.py --config-file config_files/SemSeg/MTMADISE/mtmadise_cityscapes_rgb_to_depth_11.py --bs 2 --tag RGB2Depth

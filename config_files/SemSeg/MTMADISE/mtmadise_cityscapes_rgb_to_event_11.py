@@ -25,19 +25,18 @@ train.amp["enabled"] = True
 dataloader.train.dataset.rare_class_sample = True
 model.same_cond_params = True
 
-uda["rev_noise_sup"] = True
-uda["rev_noise_end_iter"] = 8000
-uda["rev_noise_gradually"] = True
-uda["denoise_timestep_range"] = [50, 51]
+model.rev_noise_sup = True
+model.rev_noise_end_iter = 8000
+model.rev_noise_gradually = True
+model.denoise_timestep_range = [50, 51]
 # --vae_decoder_loss s  (source-only palette regression, weight 20)
-uda["vae_decoder_loss"] = "s"
 model.vae_decoder_loss = "s"
 model.feature_dims[0] = 3
 model.projection_dim[0] = 128
 model.out_features[0] = "s0"
 model.in_keys[0] = "s0"
-uda["reg_uncertain"] = True
-uda["vae_decoder_loss_type"] = "L1"
-uda["vae_decoder_loss_weight"] = [20.0]  # --vae_decoder_loss_weight 20.0
+model.reg_uncertain = True
+model.vae_decoder_loss_type = "L1"
+model.vae_decoder_loss_weight = [20.0]  # --vae_decoder_loss_weight 20.0
 
 # python main.py --config-file config_files/SemSeg/MTMADISE/mtmadise_cityscapes_rgb_to_event_11.py --bs 2 --tag RGB2Event

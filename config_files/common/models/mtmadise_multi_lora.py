@@ -29,20 +29,8 @@ model = L(build_madm)(
     remat=True,
 )
 
-# UDA training knobs consumed by madm_tpu.train.TrainConfig (the reference
-# keeps them on the model object; we group them here under `uda`)
-uda = ConfigDict(
-    blur=True,
-    color_jitter_strength=0.2,
-    color_jitter_probability=0.2,
-    enable_mixup=True,
-    rev_noise_sup=False,
-    rev_noise_end_iter=None,
-    rev_noise_gradually=False,
-    denoise_timestep_range=None,
-    vae_decoder_loss="st",
-    vae_decoder_loss_type="L1",
-    vae_decoder_loss_weight=[1.0, 1.0],
-    reg_uncertain=False,
-    pseudo_threshold=0.968,
-)
+# UDA training knobs live on the model node (reference surface — CMDISE/
+# MTMADISE ctor args), so `model.rev_noise_sup=True` overrides port verbatim.
+# `uda` remains as an optional override namespace (takes precedence when a
+# key is set; see madm_tpu.train.build_train_config).
+uda = ConfigDict()

@@ -514,3 +514,191 @@ def merge_into_variables(variables: Dict[str, Any], converted: Dict[str, Any]):
         return out
 
     return overlay(variables, converted)
+
+
+def expand_conv_in(
+    kernel: np.ndarray,
+    input_channel_plus: int = 0,
+    concat_pixel_shuffle: bool = False,
+) -> np.ndarray:
+    """Widen a 4-channel SD conv_in kernel for the conv_in-surgery ablations
+    (reference ``ldm_diffusers.py:60-99``).  ``kernel``: flax [kh,kw,4,out].
+
+    - ``input_channel_plus=N``: scale by ``4./4 + N`` (the reference's
+      literal expression — operator precedence makes it ``1+N``, kept
+      faithfully), copy into the first 4 channels and tile the last N
+      channels of the scaled weights into the new slots.
+    - ``concat_pixel_shuffle``: 17 copies of the kernel / 17 (68 inputs).
+    """
+    assert kernel.shape[2] == 4, kernel.shape
+    if input_channel_plus:
+        w = kernel * (4.0 / 4 + input_channel_plus)
+        return np.concatenate([w, w[:, :, -input_channel_plus:, :]], axis=2)
+    if concat_pixel_shuffle:
+        w = kernel / 17.0
+        return np.concatenate([w] * 17, axis=2)
+    return kernel
+
+
+# --------------------------------------------------- CompVis .ckpt support
+# (the legacy LdmCheckpointer contract, odise_checkpointer.py:114-124: raw
+# SD checkpoints store a 'state_dict' with model.diffusion_model /
+# first_stage_model / cond_stage_model prefixes.  We rename CompVis keys to
+# diffusers layout and reuse the diffusers->flax converters above.)
+
+def _compvis_unet_key(key: str) -> Optional[str]:
+    """'model.diffusion_model.X' (prefix stripped) -> diffusers UNet key."""
+    if key.startswith("time_embed."):
+        return key.replace("time_embed.0.", "time_embedding.linear_1.").replace(
+            "time_embed.2.", "time_embedding.linear_2."
+        )
+    if key.startswith("input_blocks.0.0."):
+        return key.replace("input_blocks.0.0.", "conv_in.")
+    if key.startswith("out.0."):
+        return key.replace("out.0.", "conv_norm_out.")
+    if key.startswith("out.2."):
+        return key.replace("out.2.", "conv_out.")
+
+    def resnet(rest: str) -> str:
+        return (
+            rest.replace("in_layers.0.", "norm1.")
+            .replace("in_layers.2.", "conv1.")
+            .replace("emb_layers.1.", "time_emb_proj.")
+            .replace("out_layers.0.", "norm2.")
+            .replace("out_layers.3.", "conv2.")
+            .replace("skip_connection.", "conv_shortcut.")
+        )
+
+    if key.startswith("input_blocks."):
+        _, n, m, rest = key.split(".", 3)
+        n, m = int(n), int(m)
+        i, j = (n - 1) // 3, (n - 1) % 3
+        if j == 2:  # downsample block: 'op' conv
+            assert m == 0, key
+            return f"down_blocks.{i}.downsamplers.0.conv.{rest.removeprefix('op.')}"
+        if m == 0:
+            return f"down_blocks.{i}.resnets.{j}.{resnet(rest)}"
+        return f"down_blocks.{i}.attentions.{j}.{rest}"
+    if key.startswith("middle_block."):
+        _, m, rest = key.split(".", 2)
+        m = int(m)
+        if m == 0:
+            return f"mid_block.resnets.0.{resnet(rest)}"
+        if m == 1:
+            return f"mid_block.attentions.0.{rest}"
+        return f"mid_block.resnets.1.{resnet(rest)}"
+    if key.startswith("output_blocks."):
+        _, n, m, rest = key.split(".", 3)
+        n, m = int(n), int(m)
+        i, j = n // 3, n % 3
+        if m == 0:
+            return f"up_blocks.{i}.resnets.{j}.{resnet(rest)}"
+        # module slot 1 is the attention except in the no-attention level
+        # (up block 0), where it is the upsampler; slot 2 is always upsampler
+        if rest.startswith("conv.") and (m == 2 or i == 0):
+            return f"up_blocks.{i}.upsamplers.0.{rest}"
+        return f"up_blocks.{i}.attentions.{j}.{rest}"
+    return None  # label_emb or other unused heads
+
+
+def _compvis_vae_key(key: str) -> Optional[str]:
+    """'first_stage_model.X' (prefix stripped) -> diffusers AutoencoderKL key.
+
+    CompVis VAE attention q/k/v/proj_out are 1x1 convs; the caller squeezes
+    them to linear (the diffusers conversion does the same reshape)."""
+    def resnet(rest: str) -> str:
+        return rest.replace("nin_shortcut.", "conv_shortcut.")
+
+    def attn(rest: str) -> str:
+        return (
+            rest.replace("norm.", "group_norm.")
+            .replace("q.", "to_q.").replace("k.", "to_k.")
+            .replace("v.", "to_v.").replace("proj_out.", "to_out.0.")
+        )
+
+    for side in ("encoder", "decoder"):
+        p = side + "."
+        if not key.startswith(p):
+            continue
+        rest = key[len(p):]
+        if rest.startswith(("conv_in.", "conv_out.")):
+            return key
+        if rest.startswith("norm_out."):
+            return p + rest.replace("norm_out.", "conv_norm_out.")
+        if rest.startswith("mid."):
+            sub = rest[len("mid."):]
+            if sub.startswith("block_1."):
+                return p + "mid_block.resnets.0." + resnet(sub[len("block_1."):])
+            if sub.startswith("block_2."):
+                return p + "mid_block.resnets.1." + resnet(sub[len("block_2."):])
+            assert sub.startswith("attn_1."), key
+            return p + "mid_block.attentions.0." + attn(sub[len("attn_1."):])
+        if side == "encoder" and rest.startswith("down."):
+            _, lvl, kind, remainder = rest.split(".", 3)
+            if kind == "block":
+                j, r2 = remainder.split(".", 1)
+                return f"encoder.down_blocks.{lvl}.resnets.{j}.{resnet(r2)}"
+            assert kind == "downsample", key
+            return f"encoder.down_blocks.{lvl}.downsamplers.0.{remainder}"
+        if side == "decoder" and rest.startswith("up."):
+            _, lvl, kind, remainder = rest.split(".", 3)
+            # CompVis indexes decoder levels 0 = highest resolution;
+            # diffusers up_blocks run lowest-res first
+            i = 3 - int(lvl)
+            if kind == "block":
+                j, r2 = remainder.split(".", 1)
+                return f"decoder.up_blocks.{i}.resnets.{j}.{resnet(r2)}"
+            assert kind == "upsample", key
+            return f"decoder.up_blocks.{i}.upsamplers.0.{remainder}"
+    if key.startswith(("quant_conv.", "post_quant_conv.")):
+        return key
+    return None
+
+
+def convert_compvis_state(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """CompVis SD checkpoint state_dict -> flax trees
+    {'unet', 'vae_encoder', 'vae_decoder', 'clip_text'}."""
+    unet_sd, vae_sd, clip_sd = {}, {}, {}
+    for key, w in sd.items():
+        if key.startswith("model.diffusion_model."):
+            nk = _compvis_unet_key(key[len("model.diffusion_model."):])
+            if nk is not None:
+                unet_sd[nk] = w
+        elif key.startswith("first_stage_model."):
+            nk = _compvis_vae_key(key[len("first_stage_model."):])
+            if nk is not None:
+                if ".attentions.0.to_" in nk and w.ndim == 4:
+                    w = w.reshape(w.shape[0], w.shape[1])  # 1x1 conv -> linear
+                vae_sd[nk] = w
+        elif key.startswith("cond_stage_model.transformer."):
+            clip_sd[key[len("cond_stage_model.transformer."):]] = w
+    out: Dict[str, Any] = {}
+    if unet_sd:
+        out["unet"] = convert_unet_state(unet_sd)
+    if vae_sd:
+        enc, dec = convert_vae_state(vae_sd)
+        out["vae_encoder"], out["vae_decoder"] = enc, dec
+    if clip_sd:
+        out["clip_text"] = convert_clip_text_state(clip_sd)
+    return out
+
+
+def load_compvis_checkpoint(path: str) -> Dict[str, Any]:
+    """Load a raw CompVis ``sd-v1-*.ckpt`` (the LdmCheckpointer contract —
+    ``odise_checkpointer.py:114-124``: the file stores {'state_dict': ...})."""
+    sd = load_torch_file(path)
+    if "state_dict" in sd and not hasattr(sd["state_dict"], "shape"):
+        sd = sd["state_dict"]
+    return convert_compvis_state(sd)
+
+
+class LdmCheckpointer:
+    """Name-parity shim for the reference's ``LdmCheckpointer``
+    (``checkpoint/odise_checkpointer.py:114-124``): ``load(path)`` returns
+    the converted flax trees for a raw SD checkpoint."""
+
+    def __init__(self, model=None):
+        self.model = model
+
+    def load(self, path: str) -> Dict[str, Any]:
+        return load_compvis_checkpoint(path)

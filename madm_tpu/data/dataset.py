@@ -78,6 +78,8 @@ class CrossModalityDataset:
         rare_class_sample: bool = False,
         names: Optional[str] = None,
         seed: Optional[int] = None,
+        remove_amp: Optional[Sequence[float]] = None,
+        fda_fusion_val: Optional[Sequence[float]] = None,
         **kwargs,
     ):
         assert train_or_test in {"train", "test"}
@@ -94,6 +96,16 @@ class CrossModalityDataset:
         self.rare_class_sample = rare_class_sample
         self.names = names
         self.rng = random.Random(seed)
+        # FDA ablation (reference :112-126,195-205,287-291): when set, each
+        # train sample additionally carries 'source_rgb_pha' — the source
+        # image with its low-frequency FFT amplitude flattened over a random
+        # band in [remove_amp[0], remove_amp[1]]
+        self.remove_amp = list(remove_amp) if remove_amp is not None else None
+        if self.remove_amp is not None:
+            assert len(self.remove_amp) == 2, self.remove_amp
+        self.fda_fusion_val = (
+            list(fda_fusion_val) if fda_fusion_val is not None else None
+        )
 
         # DELIVER label ids are stored +1 with channelled PNGs (ref :184-188)
         self.deliver_label_process = (
@@ -244,13 +256,27 @@ class CrossModalityDataset:
                 self.manifest["target_data"]["second_modality"][target_idx],
             )
             tgt = self._load(tgt_path, (rw, rh), (x, y, cw, ch), flip)
-            return {
+            out = {
                 "source_rgb": src["rgb"],
                 "source_label": self._convert_label(src["label"]),
                 "target_second_modality": tgt,
                 "height": ch,
                 "width": cw,
             }
+            if self.remove_amp is not None:
+                from ..ops.fda import remove_array_amp
+
+                L = self.rng.uniform(self.remove_amp[0], self.remove_amp[1])
+                fusion = None
+                if self.fda_fusion_val is not None:
+                    f = self.fda_fusion_val
+                    fusion = self.rng.uniform(f[0], f[1]) if len(f) == 2 else f[0]
+                out["source_rgb_pha"] = np.ascontiguousarray(
+                    remove_array_amp(
+                        src["rgb"].transpose(2, 0, 1), L, fusion
+                    ).transpose(1, 2, 0)
+                ).astype(np.float32)
+            return out
 
         # ----------------------------- test branch
         tgt_rel = self.manifest["target_data"]["second_modality"][target_idx]

@@ -67,6 +67,8 @@ class TrainLoader:
                 "source_label": _stack(samples, "source_label").astype(np.int32),
                 "target_second_modality": _stack(samples, "target_second_modality") / 255.0,
             }
+            if "source_rgb_pha" in samples[0]:  # FDA remove_amp ablation
+                batch["source_rgb_pha"] = _stack(samples, "source_rgb_pha") / 255.0
             self._q.put(batch)
 
     def __iter__(self):
@@ -103,14 +105,33 @@ class TestLoader:
             yield out
 
 
+def _process_shard():
+    """(shard_index, num_shards) = (process_index, process_count): under
+    multi-host each process feeds its local devices (the reference's per-rank
+    batch split, ``data/build.py:77-100``); 1 host -> (0, 1)."""
+    try:
+        import jax
+
+        return jax.process_index(), jax.process_count()
+    except Exception:
+        return 0, 1
+
+
 def build_d2_train_dataloader(dataset, total_batch_size: int, num_workers: int = 0,
                               seed: int = 0, **kwargs) -> TrainLoader:
     """Config-compatible builder (reference ``data/build.py:64``)."""
-    return TrainLoader(dataset, total_batch_size, seed=seed)
+    shard, num = _process_shard()
+    return TrainLoader(dataset, total_batch_size, shard_index=shard,
+                       num_shards=num, seed=seed)
 
 
 def build_d2_test_dataloader(dataset, local_batch_size: int = 1, num_workers: int = 0,
                              **kwargs) -> TestLoader:
-    """Config-compatible builder (reference ``data/build.py:103``)."""
+    """Config-compatible builder (reference ``data/build.py:103``).
+
+    Multi-host: each process evaluates a contiguous shard (InferenceSampler
+    semantics, ``data/build.py:135-141``); the evaluator's conf matrix is
+    reduced across processes at evaluate()."""
     assert local_batch_size == 1, "test batch size is 1 per rank (ref data/build.py:129)"
-    return TestLoader(dataset)
+    shard, num = _process_shard()
+    return TestLoader(dataset, shard_index=shard, num_shards=num)

@@ -44,58 +44,55 @@ def pad_to_divisible(img: jnp.ndarray, divisor: int = 64):
     return img, (h, w)
 
 
+def _jit_eval(fn, mesh=None):
+    """jit an eval fn; with a mesh, shard the image batch over the data axis
+    (the product-path use of ``make_sharded_eval_fn`` semantics)."""
+    if mesh is None or mesh.shape.get("data", 1) <= 1:
+        return jax.jit(fn)
+    from ..parallel.mesh import batch_sharding, replicated
+
+    return jax.jit(
+        fn,
+        in_shardings=(replicated(mesh), batch_sharding(mesh)),
+        out_shardings=batch_sharding(mesh),
+    )
+
+
 def make_eval_fn(model, lora_name: Optional[str] = None,
-                 eval_with_noise: Optional[int] = None):
+                 eval_with_noise: Optional[int] = None, mesh=None):
     """Jitted single-pass eval: [B,H,W,3] in [0,1] -> argmax ids [B,H,W]."""
 
-    @jax.jit
     def eval_fn(variables, image):
         padded, (h, w) = pad_to_divisible(image)
         logits = model.eval_forward(variables, padded, lora_name=lora_name,
                                     eval_with_noise=eval_with_noise)
         return jnp.argmax(logits[:, :h, :w], axis=-1).astype(jnp.int32)
 
-    return eval_fn
+    return _jit_eval(eval_fn, mesh)
 
 
 def make_slide_eval_fn(model, lora_name: Optional[str] = None,
-                       windows=SLIDE_WINDOWS):
+                       windows=None, mesh=None):
     """Jitted sliding-window eval for [B, 512, 1024, 3] images.
 
-    Batches the crops ([B*n_win, 512, 512, 3]) through one backbone pass and
-    stitches per-scale features before a single head pass.
+    Batches the crops ([B*n_win, 512, 512, 3]) through one backbone pass
+    (``MADM.slide_backbone_forward``) and stitches per-scale features before
+    a single head pass.  Default windows derive from the image size (for
+    512x1024 exactly the reference's fixed 3, ``feature_extractor.py:75``).
     """
-    strides = model._strides()
-    out_features = model.cfg.out_features
 
-    @jax.jit
     def eval_fn(variables, image):
         b, h, w, _ = image.shape
-        crops = jnp.concatenate(
-            [image[:, y1:y2, x1:x2] for (y1, y2, x1, x2) in windows], axis=0
-        )
-        feats = model.backbone_forward(
-            variables, crops, input_modal="others", lora_name=lora_name
+        stitched = model.slide_backbone_forward(
+            variables, image, input_modal="others", lora_name=lora_name,
+            windows=windows,
         )["output_features"]
-
-        stitched = {}
-        for name, stride in zip(out_features, strides):
-            f = feats[name]  # [B*n_win, 512/s, 512/s, C]
-            canvas = jnp.zeros((b, h // stride, w // stride, f.shape[-1]), f.dtype)
-            count = jnp.zeros((b, h // stride, w // stride, 1), f.dtype)
-            for wi, (y1, y2, x1, x2) in enumerate(windows):
-                fy1, fy2 = y1 // stride, y2 // stride
-                fx1, fx2 = x1 // stride, x2 // stride
-                crop_f = f[wi * b : (wi + 1) * b]
-                canvas = canvas.at[:, fy1:fy2, fx1:fx2].add(crop_f)
-                count = count.at[:, fy1:fy2, fx1:fx2].add(1.0)
-            stitched[name] = canvas / count
         # eval uses the target-modality head (mtmadise.py:685)
         logits = model.head_forward(variables, stitched, use_sec_modal=True)
         logits = resize_bilinear(logits.astype(jnp.float32), (h, w))
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-    return eval_fn
+    return _jit_eval(eval_fn, mesh)
 
 
 def inference_on_dataset(
@@ -107,49 +104,78 @@ def inference_on_dataset(
     slide_inference: bool = False,
     eval_with_noise: Optional[int] = None,
     warmup: int = 2,
+    mesh=None,
 ) -> Dict:
     """Run eval over a TestLoader shard, feed the evaluator, return metrics.
 
+    With a ``mesh``, eval images are grouped into batches of the data-axis
+    size and sharded over the chips (the TPU replacement for the reference's
+    one-image-per-rank InferenceSampler split, ``data/build.py:103-141``);
+    the last group is padded by repetition and the padding discarded.
+
     Logs data/compute split timing like the reference driver
     (``evaluation/evaluator.py:56-132``)."""
+    group = 1 if mesh is None else max(1, mesh.shape.get("data", 1))
     eval_fn = (
-        make_slide_eval_fn(model, lora_name)
+        make_slide_eval_fn(model, lora_name, mesh=mesh)
         if slide_inference
-        else make_eval_fn(model, lora_name, eval_with_noise)
+        else make_eval_fn(model, lora_name, eval_with_noise, mesh=mesh)
     )
     evaluator.reset()
     total = len(loader)
     t_data = t_compute = 0.0
     last = time.perf_counter()
 
-    # pipelined loop: dispatch image i+1 before fetching prediction i, so
+    def dispatch(samples):
+        imgs = np.concatenate(
+            [s["target_second_modality"] for s in samples], axis=0
+        )
+        if len(samples) < group:  # pad the tail group by repetition
+            imgs = np.concatenate(
+                [imgs] + [imgs[-1:]] * (group - len(samples)), axis=0
+            )
+        return eval_fn(variables, jnp.asarray(imgs))
+
+    def drain(pending):
+        samples, dev_pred = pending
+        preds = np.asarray(dev_pred)
+        for j, s in enumerate(samples):
+            evaluator.process(s, preds[j])
+
+    # pipelined loop: dispatch group i+1 before fetching predictions i, so
     # host decode + conf-matrix accumulation overlap device compute (jax
     # dispatch is async; the fetch in np.asarray is the sync point).  The
     # reference loops strictly sequentially (evaluation/evaluator.py:79-102).
-    pending = None  # (sample, device_pred)
+    pending = None  # ([samples], device_preds)
+    buf = []
+    n_groups = (total + group - 1) // group
+    gi = 0
     for i, sample in enumerate(loader):
+        buf.append(sample)
+        if len(buf) < group and i + 1 < total:
+            continue
         now = time.perf_counter()
         t_data += now - last
-        dev_pred = eval_fn(variables, jnp.asarray(sample["target_second_modality"]))
+        dev_pred = dispatch(buf)
         if pending is not None:
-            prev_sample, prev_pred = pending
-            evaluator.process(prev_sample, np.asarray(prev_pred[0]))
-        pending = (sample, dev_pred)
+            drain(pending)
+        pending = (buf, dev_pred)
+        buf = []
+        gi += 1
         now2 = time.perf_counter()
         t_compute += now2 - now
         last = time.perf_counter()
-        if i == warmup - 1:  # exclude compile from steady-state stats
+        if gi == warmup:  # exclude compile from steady-state stats
             t_data = t_compute = 0.0
-        if (i + 1) % 100 == 0 or i + 1 == total:
-            done = i + 1 - warmup
+        if gi % 100 == 0 or gi == n_groups:
+            done = gi - warmup
             if done > 0:
-                eta = (total - i - 1) * (t_compute + t_data) / done
+                eta = (n_groups - gi) * (t_compute + t_data) / done
                 logger.info(
-                    f"inference {i + 1}/{total} "
-                    f"compute {t_compute / done:.3f}s/iter "
-                    f"data {t_data / done:.3f}s/iter eta {eta:.0f}s"
+                    f"inference {gi * group}/{total} "
+                    f"compute {t_compute / done:.3f}s/group({group}) "
+                    f"data {t_data / done:.3f}s/group eta {eta:.0f}s"
                 )
     if pending is not None:
-        prev_sample, prev_pred = pending
-        evaluator.process(prev_sample, np.asarray(prev_pred[0]))
+        drain(pending)
     return evaluator.evaluate()

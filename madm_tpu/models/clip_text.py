@@ -55,7 +55,10 @@ class CLIPAttention(nn.Module):
         v = v.reshape(b, s, HEADS, d)
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
-        logits = logits + causal_mask[None, None]
+        if causal_mask.ndim == 2:  # [s, s] shared mask
+            logits = logits + causal_mask[None, None]
+        else:  # [b, 1|h, s, s] per-sample mask (MaskCLIP)
+            logits = logits + causal_mask
         probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, s, c)
         return nn.Dense(c, dtype=self.dtype, name="out_proj")(out)

@@ -26,6 +26,7 @@ from typing import Any, Dict, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import linen as nn
 
 from . import prompt as prompt_lib
 from .daformer import DAFormerHead, resize_bilinear
@@ -58,6 +59,24 @@ class MADMConfig:
     head_channels: int = 256
     # conditioning
     same_cond_params: bool = True
+    # which UNet params train: 'all' | 'no' | 'attention' |
+    # 'without cross-attention' (reference ldm_diffusers.py:101-121);
+    # consumed by train.optimizer.split_trainable as a trainability mask
+    finetune_unet: str = "all"
+    # train-time sliding-window crops (feature_extractor.py:199-278)
+    slide_training: bool = False
+    # conv_in surgery (reference ldm_diffusers.py:60-99) — ablations, off in
+    # shipped configs:
+    # extra latent input channels fed by a per-modality constant mask;
+    # values parsed from mask_diff like 'rgb=0_Depth=1' (mtmadise.py:66-75)
+    input_channel_plus: int = 0
+    mask_diff: Optional[str] = None
+    # grayscale pixel-unshuffle tower concatenated to the latent (68ch conv_in)
+    concat_pixel_shuffle: bool = False
+    # extra latent noise on the mixed pass / latent normalization
+    # (ldm_diffusers.py:165-168)
+    add_latent_noise: float = -1.0
+    norm_latent_noise: bool = False
     # separate decode head for the target modality (cmdise.py:154-157;
     # False in shipped configs -> one shared head)
     sem_seg_head_sec_modal: bool = False
@@ -74,10 +93,38 @@ class MADMConfig:
     # + Adam states leave ~2GB for activations on a 16GB v5e — remat the
     # UNet blocks; replaces torch.utils.checkpoint, ldm_diffusers.py:377-433)
     remat: bool = False
-    # uda
+    # uda — the reference keeps every UDA knob on the model object
+    # (``cmdise.py:118-149`` / ``mtmadise.py:28-48`` ctor args), so
+    # reference-style overrides like ``model.rev_noise_sup=True`` port
+    # verbatim; ``madm_tpu.train.build_train_config`` reads them from here
     ema_alpha: float = 0.999
     pseudo_threshold: float = 0.968
     train_palette: Tuple[int, ...] = ()
+    blur: bool = True
+    color_jitter_strength: float = 0.2
+    color_jitter_probability: float = 0.2
+    enable_mixup: bool = True
+    pl_crop: bool = False
+    psweight_ignore_top: int = 15
+    mic: bool = False
+    mask_ratio: float = 0.7
+    mic_reg: float = 0.0
+    mic_reg_wo_pl_val: bool = False
+    fd: float = 0.0
+    denoise_supervise: float = 0.0
+    denoise_timestep_range: Optional[Tuple[int, int]] = None
+    rev_noise_sup: bool = False
+    rev_noise_end_iter: Optional[int] = None
+    rev_noise_gradually: bool = False
+    noise_reg: float = 0.0
+    vae_decoder_loss_type: str = "L1"
+    vae_decoder_loss_weight: Tuple[float, ...] = (1.0, 1.0)
+    reg_uncertain: bool = False
+    # per-sample confident fraction ('sample') vs the reference's per-rank
+    # scalar over the whole local batch ('batch', cmdise.py:498-502); equal
+    # at local batch 1
+    pseudo_weight_scope: str = "batch"
+    eval_with_noise: Optional[int] = None
     # input size
     crop_size: Tuple[int, int] = (512, 512)
 
@@ -88,6 +135,39 @@ class MADMConfig:
     @property
     def use_s0(self) -> bool:
         return "s0" in self.out_features
+
+
+class PixelUnshuffleTower(nn.Module):
+    """PixelUnshuffle(8) + conv/BN/SiLU + conv/BN producing a 64-channel
+    latent-resolution map from the grayscale input, concatenated to the
+    noisy latent when ``concat_pixel_shuffle`` (reference
+    ``ldm_diffusers.py:83-99,170-173``).
+
+    BN normalizes by batch statistics in every mode (no running-stat state:
+    the reference creates this tower after ``_freeze`` so its BN runs in
+    train mode throughout training; checkpoint-stat parity is not needed —
+    no released checkpoint uses the ablation)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, gray: jax.Array) -> jax.Array:  # [B, H, W, 1]
+        b, h, w, _ = gray.shape
+        # torch PixelUnshuffle channel order: dy*8 + dx
+        x = gray.reshape(b, h // 8, 8, w // 8, 8)
+        x = x.transpose(0, 1, 3, 2, 4).reshape(b, h // 8, w // 8, 64)
+
+        def bn(x, name):
+            mean = x.mean(axis=(0, 1, 2))
+            var = x.var(axis=(0, 1, 2))
+            scale = self.param(f"{name}_scale", nn.initializers.ones, (x.shape[-1],))
+            bias = self.param(f"{name}_bias", nn.initializers.zeros, (x.shape[-1],))
+            return (x - mean) * jax.lax.rsqrt(var + 1e-5) * scale + bias
+
+        x = nn.Conv(64, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv1")(x)
+        x = nn.silu(bn(x, "bn1"))
+        x = nn.Conv(64, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv2")(x)
+        return bn(x, "bn2")
 
 
 class MADM:
@@ -124,6 +204,18 @@ class MADM:
         )
         self.lora_specs = parse_lora_configs(config.lora_configs)
 
+        # mask_diff per-modality constants, 'rgb=0_Depth=1' (mtmadise.py:66-75)
+        self.mask_val: Dict[str, float] = {}
+        if config.mask_diff and config.mask_diff != "circle":
+            for part in config.mask_diff.split("_"):
+                name, val = part.split("=")
+                self.mask_val[name] = float(val)
+        if config.input_channel_plus:
+            assert config.mask_diff, "input_channel_plus needs mask_diff values"
+        self.pixel_tower = (
+            PixelUnshuffleTower(dtype=dt) if config.concat_pixel_shuffle else None
+        )
+
         # static validation: declared feature_dims must match the UNet's tap
         # channels (taps arrive smallest-res first; feature_dims is ordered
         # largest-res first, after the optional s0 decoder feature)
@@ -149,18 +241,20 @@ class MADM:
         from the checkpoint converter)."""
         if isinstance(rng, int):
             rng = jax.random.PRNGKey(rng)
-        keys = jax.random.split(rng, 8)
+        keys = jax.random.split(rng, 9)
         h, w = self.cfg.crop_size
         lh, lw = self.cfg.latent_size
         img = jnp.zeros((1, h, w, 3), jnp.float32)
         lat = jnp.zeros((1, lh, lw, 4), jnp.float32)
+        # conv_in surgery widens the UNet input (ldm_diffusers.py:60-99)
+        in_lat = jnp.zeros((1, lh, lw, self.unet_in_channels), jnp.float32)
         ctx = jnp.zeros((1, 77, 768), jnp.float32)
         ts = jnp.zeros((1,), jnp.int32)
 
         # jit each sub-init separately: smaller XLA compiles, better caching
         vae_enc = jax.jit(self.vae_encoder.init)(keys[0], img)["params"]
         vae_dec = jax.jit(self.vae_decoder.init)(keys[1], lat)["params"]
-        unet = jax.jit(self.unet.init)(keys[2], lat, ts, ctx)["params"]
+        unet = jax.jit(self.unet.init)(keys[2], in_lat, ts, ctx)["params"]
 
         feats = [
             jnp.zeros((1, h // s, w // s, c), jnp.float32)
@@ -196,6 +290,11 @@ class MADM:
             "projections": proj,
             "head": head,
         }
+        if self.pixel_tower is not None:
+            gray = jnp.zeros((1, h, w, 1), jnp.float32)
+            params["pixel_unshuffle"] = jax.jit(self.pixel_tower.init)(
+                keys[8], gray
+            )["params"]
         state = {"head_bn": head_bn, "ema_head_bn": jax.tree.map(jnp.copy, head_bn)}
         if self.cfg.sem_seg_head_sec_modal:
             params["head_sec"] = head_sec
@@ -224,6 +323,38 @@ class MADM:
 
     def _strides(self) -> Tuple[int, ...]:
         return tuple(2 ** int(name[1]) for name in self.cfg.out_features)
+
+    @property
+    def unet_in_channels(self) -> int:
+        """conv_in input channels after surgery (ldm_diffusers.py:60-99)."""
+        return (
+            4
+            + self.cfg.input_channel_plus
+            + (64 if self.cfg.concat_pixel_shuffle else 0)
+        )
+
+    def modality_mask(self, images: jax.Array, modal_name: str) -> Optional[jax.Array]:
+        """Constant per-modality mask at latent resolution, [B,h/8,w/8,1]
+        (mtmadise.py:245-247,316-318 — F.interpolate nearest 1/8 of a
+        constant map is the constant map)."""
+        if not self.cfg.input_channel_plus:
+            return None
+        b, h, w, _ = images.shape
+        val = self.mask_val[modal_name]
+        return jnp.full((b, h // 8, w // 8, self.cfg.input_channel_plus),
+                        val, jnp.float32)
+
+    def mixed_modality_mask(self, mix_mask: jax.Array, modal_name: str) -> Optional[jax.Array]:
+        """Mixed-pass mask: rgb value where the DACS mask pastes source,
+        target value elsewhere, nearest-downsampled 8x (mtmadise.py:291-296).
+        ``mix_mask``: [B,H,W] 1=source."""
+        if not self.cfg.input_channel_plus:
+            return None
+        m = mix_mask[:, ::8, ::8].astype(jnp.float32)[..., None]
+        out = self.mask_val["rgb"] * m + self.mask_val[modal_name] * (1.0 - m)
+        return jnp.broadcast_to(
+            out, out.shape[:3] + (self.cfg.input_channel_plus,)
+        )
 
     # ------------------------------------------------------- conditioning
     def conditioning(
@@ -263,6 +394,8 @@ class MADM:
         timesteps: Optional[jax.Array] = None,  # [B] int32, defaults to 0
         want_decoder_output: bool = False,
         train: bool = False,
+        modality_mask: Optional[jax.Array] = None,  # [B,h/8,w/8,N] mask_diff
+        latent_noise_rng: Optional[jax.Array] = None,  # add_latent_noise
     ) -> Dict[str, Any]:
         """One diffusion feature pass.
 
@@ -286,6 +419,27 @@ class MADM:
             timesteps = jnp.zeros((b,), jnp.int32)
         noise = jnp.broadcast_to(variables["consts"]["shared_noise"], latents.shape)
         noisy = add_noise(latents, noise.astype(latents.dtype), timesteps)
+
+        # --- conv_in surgery inputs (ldm_diffusers.py:165-178) ---
+        if cfg.add_latent_noise != -1.0 and input_modal == "mixed":
+            assert latent_noise_rng is not None, "add_latent_noise needs an rng"
+            noisy = noisy + (
+                jax.random.normal(latent_noise_rng, noisy.shape, noisy.dtype)
+                * cfg.add_latent_noise
+            )
+        if cfg.norm_latent_noise:  # global mean/std like torch.mean/std
+            noisy = (noisy - jnp.mean(noisy)) / jnp.std(noisy)
+        if self.pixel_tower is not None:
+            gray = jnp.mean(x, axis=-1, keepdims=True)
+            tower = self.pixel_tower.apply(
+                {"params": params["pixel_unshuffle"]}, gray
+            )
+            noisy = jnp.concatenate([noisy, tower.astype(noisy.dtype)], axis=-1)
+        if cfg.input_channel_plus:
+            assert modality_mask is not None, "mask_diff needs a modality_mask"
+            noisy = jnp.concatenate(
+                [noisy, modality_mask.astype(noisy.dtype)], axis=-1
+            )
 
         cond_prompt, cond_time = self.conditioning(
             variables, input_modal, ema_forward, batch_size=b
@@ -324,6 +478,51 @@ class MADM:
             proj_apply = jax.checkpoint(proj_apply)
         out["output_features"] = proj_apply(proj_params, feats)
         return out
+
+    # -------------------------------------------------- sliding-window pass
+    def slide_windows(self, h: int, w: int) -> Tuple[Tuple[int, int, int, int], ...]:
+        """(y1,y2,x1,x2) crops covering (h,w) at half-crop stride — for
+        512x1024 exactly the reference's fixed list
+        ((0,512,0,512),(0,512,256,768),(0,512,512,1024)),
+        ``feature_extractor.py:75``."""
+        ch, cw = self.cfg.crop_size
+        ys = sorted({min(y, h - ch) for y in range(0, max(h - ch, 0) + 1, max(ch // 2, 1))})
+        xs = sorted({min(x, w - cw) for x in range(0, max(w - cw, 0) + 1, max(cw // 2, 1))})
+        return tuple((y, y + ch, x, x + cw) for y in ys for x in xs)
+
+    def slide_backbone_forward(
+        self, variables: Dict[str, Any], images: jax.Array, **kw
+    ) -> Dict[str, Any]:
+        """Sliding-window backbone: batch the fixed crops through ONE forward
+        and stitch per-scale features with count-normalization (reference
+        ``slide_forward``, ``feature_extractor.py:199-278`` — there a
+        sequential Python loop; here the crops ride the batch axis, so under
+        a mesh they also ride the data axis).
+
+        Differentiable, hence usable for ``slide_training``.  Like the
+        reference's slide path it exposes only ``output_features`` (no
+        decoder outputs — per-crop latents don't stitch)."""
+        assert not self.cfg.input_channel_plus, (
+            "slide path does not compose with mask_diff conv_in surgery"
+        )
+        b, h, w, _ = images.shape
+        windows = kw.pop("windows", None) or self.slide_windows(h, w)
+        crops = jnp.concatenate(
+            [images[:, y1:y2, x1:x2] for (y1, y2, x1, x2) in windows], axis=0
+        )
+        feats = self.backbone_forward(variables, crops, **kw)["output_features"]
+        stitched = {}
+        for name, stride in zip(self.cfg.out_features, self._strides()):
+            f = feats[name]  # [B*n_win, ch/s, cw/s, C]
+            canvas = jnp.zeros((b, h // stride, w // stride, f.shape[-1]), f.dtype)
+            count = jnp.zeros((b, h // stride, w // stride, 1), f.dtype)
+            for wi, (y1, y2, x1, x2) in enumerate(windows):
+                fy1, fy2 = y1 // stride, y2 // stride
+                fx1, fx2 = x1 // stride, x2 // stride
+                canvas = canvas.at[:, fy1:fy2, fx1:fx2].add(f[wi * b : (wi + 1) * b])
+                count = count.at[:, fy1:fy2, fx1:fx2].add(1.0)
+            stitched[name] = canvas / count
+        return {"output_features": stitched}
 
     # --------------------------------------------------------------- head
     def head_forward(
@@ -365,6 +564,13 @@ class MADM:
                 # chunks the recomputed backward's working set
                 apply_fn = jax.checkpoint(apply_fn)
             return apply_fn(var_in, features)
+        if train:
+            # train-mode BN (normalize by batch stats) without persisting the
+            # running-stat update — used by teacher/aux passes
+            logits, _ = self.head.apply(
+                var_in, features, train=True, rngs=rngs, mutable=["batch_stats"]
+            )
+            return logits
         logits = self.head.apply(var_in, features, train=train, rngs=rngs)
         return logits
 
@@ -388,6 +594,7 @@ class MADM:
         feats = self.backbone_forward(
             variables, images, input_modal="others", lora_name=lora_name,
             timesteps=timesteps,
+            modality_mask=self.modality_mask(images, self.cfg.target_modality),
         )["output_features"]
         logits = self.head_forward(variables, feats, use_sec_modal=True)
         logits = resize_bilinear(logits.astype(jnp.float32), images.shape[1:3])

@@ -84,6 +84,9 @@ class Encoder(nn.Module):
     encoder_block_indices: Sequence[int] = ()
     block_out_channels: Sequence[int] = BLOCK_OUT_CHANNELS  # shrink for tests
     dtype: jnp.dtype = jnp.float32
+    # 'after': post-resnet, 1-based (the active path, ldm_diffusers.py:284-311)
+    # 'in': pre-resnet input, 0-based (the legacy LdmExtractor, ldm.py:419-446)
+    tap_type: str = "after"
 
     @nn.compact
     def __call__(self, images: jax.Array) -> Tuple[jax.Array, list]:
@@ -94,10 +97,12 @@ class Encoder(nn.Module):
                     dtype=self.dtype, name="conv_in")(images)
         for bi, out_ch in enumerate(boc):
             for ri in range(LAYERS_PER_BLOCK):
+                if self.tap_type == "in" and index in self.encoder_block_indices:
+                    feats.append(x)
                 x = ResnetBlock2D(out_ch, use_temb=False, dtype=self.dtype,
                                   name=f"down_blocks_{bi}_resnets_{ri}")(x)
                 index += 1
-                if index in self.encoder_block_indices:
+                if self.tap_type == "after" and index in self.encoder_block_indices:
                     feats.append(x)
             if bi != len(boc) - 1:
                 x = VAEDownsample(out_ch, dtype=self.dtype,

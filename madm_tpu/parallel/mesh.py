@@ -43,9 +43,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a host batch with axis-0 sharded over the data axis."""
+    """Place a host batch with axis-0 sharded over the data axis.
+
+    Single-host: a plain sharded device_put.  Multi-host: each process holds
+    its *local* slice of the global batch (the dataloader shards by
+    ``jax.process_index()``, mirroring the reference's per-rank batch split,
+    ``data/build.py:77-100``) and the global array is assembled with
+    ``make_array_from_process_local_data`` — device_put cannot address other
+    hosts' devices."""
     s = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)), batch
+    )
 
 
 def replicate(mesh: Mesh, tree):

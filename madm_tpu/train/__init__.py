@@ -3,6 +3,7 @@ from .train_step import (
     TrainConfig,
     TrainState,
     add_feature_distance_baseline,
+    build_train_config,
     make_train_state,
     make_train_step,
 )
@@ -15,6 +16,7 @@ __all__ = [
     "train_step",
     "TrainConfig",
     "add_feature_distance_baseline",
+    "build_train_config",
     "TrainState",
     "make_train_state",
     "make_train_step",

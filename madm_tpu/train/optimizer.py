@@ -103,19 +103,88 @@ def make_optimizer(
     return optax.chain(optax.clip_by_global_norm(grad_clip), adamw)
 
 
-def split_trainable(variables: Dict[str, Any]):
+def unet_trainable_mask(unet_params: Dict[str, Any], mode: str) -> Dict[str, Any]:
+    """Bool pytree: which UNet params train under ``finetune_unet`` mode.
+
+    Static equivalent of the reference's ``_freeze`` +
+    ``exclude_unused_params`` probe backward (``ldm_diffusers.py:101-141``):
+
+    - 'no':   whole UNet frozen
+    - 'all':  everything except {conv_norm_out, conv_out} — the only params
+      strictly downstream of the last tap (index 11 = after up_blocks_3's
+      final resnet+attention), which the probe leaves with ``grad is None``
+    - 'attention': only the Transformer2D subtrees (names containing
+      'attentions'), minus the downstream set
+    - 'without cross-attention': everything except cross-attention ('attn2')
+      subtrees, minus the downstream set
+    """
+    if mode not in ("no", "all", "attention", "without cross-attention"):
+        raise ValueError(f"finetune_unet mode {mode!r}")
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            return {k: walk(v, path + (k,)) for k, v in node.items()}
+        if mode == "no":
+            return False
+        if path[0] in ("conv_norm_out", "conv_out"):
+            return False  # downstream of tap 11: probe-frozen
+        in_attn = any("attentions" in p for p in path)
+        if mode == "attention":
+            return in_attn
+        if mode == "without cross-attention":
+            return not (in_attn and "attn2" in path)
+        return True  # 'all'
+
+    return walk(unet_params, ())
+
+
+def _partition(tree, mask):
+    """Split ``tree`` into (true_part, false_part) by a same-shape bool tree;
+    empty dicts are pruned."""
+    if isinstance(tree, dict):
+        t_out, f_out = {}, {}
+        for k, v in tree.items():
+            t, f = _partition(v, mask[k])
+            if t is not None:
+                t_out[k] = t
+            if f is not None:
+                f_out[k] = f
+        return (t_out or None), (f_out or None)
+    return (tree, None) if mask else (None, tree)
+
+
+def _deep_merge(a, b):
+    if isinstance(a, dict) and isinstance(b, dict):
+        out = dict(a)
+        for k, v in b.items():
+            out[k] = _deep_merge(a[k], v) if k in a else v
+        return out
+    return b
+
+
+def split_trainable(variables: Dict[str, Any], finetune_unet: str = "all"):
     """(trainable, frozen) split of the params tree.
 
-    Trainable = unet + lora + prompt + projections + head (finetune_unet='all'
-    with taps at {5,8,11} + decoder output leaves the whole UNet reachable —
-    the static equivalent of the reference's ``exclude_unused_params`` probe,
-    ``ldm_diffusers.py:123-141``).  Frozen = VAE encoder/decoder."""
+    Trainable = unet-per-``finetune_unet``-mask + lora + prompt + projections
+    + head.  Frozen = VAE encoder/decoder + the masked-out UNet leaves.  The
+    reference derives the same split with requires_grad flags + a probe
+    backward (``ldm_diffusers.py:101-141``); here it is a static pytree
+    partition so jit'd grads are simply never computed for frozen leaves."""
     p = variables["params"]
     frozen_keys = ("vae_encoder", "vae_decoder")
     trainable = {k: v for k, v in p.items() if k not in frozen_keys}
     frozen = {k: p[k] for k in frozen_keys}
+    if "unet" in trainable:
+        mask = unet_trainable_mask(trainable["unet"], finetune_unet)
+        t_unet, f_unet = _partition(trainable["unet"], mask)
+        if t_unet is None:
+            del trainable["unet"]
+        else:
+            trainable["unet"] = t_unet
+        if f_unet is not None:
+            frozen["unet"] = f_unet
     return trainable, frozen
 
 
 def merge_trainable(trainable: Dict[str, Any], frozen: Dict[str, Any]) -> Dict[str, Any]:
-    return {**frozen, **trainable}
+    return _deep_merge(frozen, trainable)

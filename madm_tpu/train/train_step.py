@@ -64,6 +64,10 @@ class TrainConfig:
     # pl_crop (off in shipped configs)
     pl_crop: bool = False
     psweight_ignore_top: int = 15
+    # pseudo-weight scope: 'batch' = one scalar over the local batch (the
+    # reference's per-rank scalar, cmdise.py:498-502); 'sample' = per-sample
+    # confident fraction.  Equal at the reference's shipped local batch of 1.
+    pseudo_weight_scope: str = "batch"
     # masked-image consistency (MIC) — CE variant (cmdise.py:181-183,
     # mtmadise.py:404-420,471-476); off in shipped configs
     mic: bool = False
@@ -107,7 +111,7 @@ def add_feature_distance_baseline(state: "TrainState") -> "TrainState":
 
 
 def make_train_state(model: MADM, variables: Dict[str, Any], tx) -> TrainState:
-    trainable, _ = split_trainable(variables)
+    trainable, _ = split_trainable(variables, model.cfg.finetune_unet)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=variables["params"],
@@ -132,6 +136,53 @@ def rev_noise_timestep(rng: jax.Array, step: jax.Array, tc: TrainConfig) -> jax.
     return jnp.where(step <= tc.rev_noise_end_iter, t, 0)
 
 
+def build_train_config(cfg, mcfg: MADMConfig) -> TrainConfig:
+    """TrainConfig from a loaded LazyConfig tree + the model's MADMConfig.
+
+    The UDA knobs live on the model node (reference surface — ``cmdise.py``/
+    ``mtmadise.py`` ctor args, so ``model.rev_noise_sup=True`` dot-overrides
+    port verbatim); an optional ``cfg.uda`` namespace overrides them
+    (back-compat with earlier TPU configs).  Training-loop values come from
+    ``cfg.train``.
+    """
+    uda = dict(cfg.get("uda", {}) or {})
+
+    def knob(name):
+        if name in uda and uda[name] is not None:
+            return uda[name]
+        return getattr(mcfg, name)
+
+    t_range = knob("denoise_timestep_range") or (0, 0)
+    vdl_w = tuple(list(knob("vae_decoder_loss_weight")) + [1.0])[:2]
+    return TrainConfig(
+        max_iter=cfg.train.max_iter,
+        ema_alpha=knob("ema_alpha"),
+        pseudo_threshold=knob("pseudo_threshold"),
+        blur=knob("blur"),
+        color_jitter_strength=knob("color_jitter_strength"),
+        color_jitter_probability=knob("color_jitter_probability"),
+        enable_mixup=knob("enable_mixup"),
+        rev_noise_sup=knob("rev_noise_sup"),
+        rev_noise_end_iter=knob("rev_noise_end_iter") or cfg.train.max_iter,
+        rev_noise_gradually=knob("rev_noise_gradually"),
+        denoise_timestep_range=tuple(t_range),
+        vae_decoder_loss=uda.get("vae_decoder_loss") or mcfg.vae_decoder_loss,
+        vae_decoder_loss_type=knob("vae_decoder_loss_type"),
+        vae_decoder_loss_weight=vdl_w,
+        reg_uncertain=knob("reg_uncertain"),
+        pl_crop=knob("pl_crop"),
+        psweight_ignore_top=knob("psweight_ignore_top"),
+        mic=knob("mic"),
+        mask_ratio=knob("mask_ratio"),
+        mic_reg=float(knob("mic_reg")),
+        mic_reg_wo_pl_val=knob("mic_reg_wo_pl_val"),
+        denoise_supervise=float(knob("denoise_supervise")),
+        fd=float(knob("fd")),
+        noise_reg=float(knob("noise_reg") or 0.0),
+        pseudo_weight_scope=knob("pseudo_weight_scope"),
+    )
+
+
 def make_train_step(model: MADM, tc: TrainConfig, tx):
     """Build the jit-able train step for ``model``.
 
@@ -139,6 +190,27 @@ def make_train_step(model: MADM, tc: TrainConfig, tx):
             'target_second_modality': [B,H,W,3] 0..1}
     """
     mcfg = model.cfg
+    if mcfg.slide_training and (
+        tc.vae_decoder_loss or tc.mic_reg or tc.denoise_supervise
+        or tc.noise_reg or tc.reg_uncertain
+    ):
+        # the slide path exposes no decoder outputs (same limitation as the
+        # reference's slide_forward, feature_extractor.py:199-278 — its
+        # return dict lacks 'before_vae_decoder' and the decoder losses
+        # would KeyError); disable them explicitly for slide_training
+        raise ValueError(
+            "slide_training is incompatible with decoder-output losses "
+            "(vae_decoder_loss/mic_reg/denoise_supervise/noise_reg/"
+            "reg_uncertain) — set them off, as the reference requires"
+        )
+
+    def backbone(variables, images, **kw):
+        # slide_training: any input larger than crop_size goes through the
+        # batched sliding-window pass (train-time crops stay single-pass)
+        if mcfg.slide_training and images.shape[1:3] != tuple(mcfg.crop_size):
+            return model.slide_backbone_forward(variables, images, **kw)
+        return model.backbone_forward(variables, images, **kw)
+
     num_classes = mcfg.num_classes
     table = jnp.asarray(palette.palette_table(mcfg.train_palette))
     class_table = jnp.asarray(
@@ -159,8 +231,8 @@ def make_train_step(model: MADM, tc: TrainConfig, tx):
 
     def step_fn(ts: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
         step = ts.step
-        (k_mask, k_jitter, k_revt, k_drop1, k_drop2, k_drop3,
-         k_micjit, k_micmask, k_micdrop, k_dst, k_nrjit, k_nrt) = jax.random.split(rng, 12)
+        (k_mask, k_jitter, k_revt, k_drop1, k_drop2, k_drop3, k_micjit,
+         k_micmask, k_micdrop, k_dst, k_nrjit, k_nrt, k_aln) = jax.random.split(rng, 13)
 
         # ---------------- EMA teacher update (cmdise.py:337-349) ----------
         alpha = ema_alpha(step.astype(jnp.float32), tc.ema_alpha)
@@ -184,17 +256,18 @@ def make_train_step(model: MADM, tc: TrainConfig, tx):
 
         t_pl = rev_noise_timestep(k_revt, step.astype(jnp.float32), tc)
 
-        _, frozen = split_trainable({"params": ts.params})
+        _, frozen = split_trainable({"params": ts.params}, mcfg.finetune_unet)
         base_vars = {
             "params": ts.params, "ema": ema, "state": ts.state, "consts": ts.consts,
         }
 
         # ------------- teacher pseudo-labels (no grad; outside the grad
         # passes so its activations never enter the backward working set) ---
-        tch_out = model.backbone_forward(
+        tch_out = backbone(
             base_vars, target, input_modal="others", lora_name=tgt_lora,
             ema_forward=True,
             timesteps=jnp.broadcast_to(t_pl, (b,)),
+            modality_mask=model.modality_mask(target, modality),
         )
         # torch quirk kept: the EMA head is in train() mode during
         # pseudo-labeling, so dropout is active in the teacher too
@@ -208,13 +281,16 @@ def make_train_step(model: MADM, tc: TrainConfig, tx):
         ema_sm = jax.nn.softmax(jax.lax.stop_gradient(ema_logits), axis=-1)
         pseudo_prob = ema_sm.max(axis=-1)
         pseudo_label = ema_sm.argmax(axis=-1).astype(jnp.int32)
-        # per-sample confident fraction: identical to the reference's
-        # per-rank scalar at its shipped local batch of 1
-        # (cmdise.py:498-502), and shard-local under data parallelism
         pseudo_val = (pseudo_prob >= tc.pseudo_threshold).mean(axis=(1, 2))
-        pseudo_weight = jnp.broadcast_to(
-            pseudo_val[:, None, None], pseudo_prob.shape
-        )
+        if tc.pseudo_weight_scope == "batch":
+            # the reference's per-rank scalar over the whole local batch
+            # (cmdise.py:498-502); under GSPMD the mean is global across the
+            # data axis (the one semantic difference vs per-rank, documented)
+            pseudo_weight = jnp.broadcast_to(pseudo_val.mean(), pseudo_prob.shape)
+        else:  # 'sample': per-sample confident fraction
+            pseudo_weight = jnp.broadcast_to(
+                pseudo_val[:, None, None], pseudo_prob.shape
+            )
         if tc.pl_crop:
             pseudo_weight = pseudo_weight.at[:, : tc.psweight_ignore_top, :].set(0.0)
 
@@ -250,9 +326,10 @@ def make_train_step(model: MADM, tc: TrainConfig, tx):
         if tc.noise_reg:
             lo, hi = tc.denoise_timestep_range
             t_nr = jax.random.randint(k_nrt, (b,), lo, hi + 1)
-            nr_out = model.backbone_forward(
+            nr_out = backbone(
                 base_vars, target, input_modal="others", lora_name=tgt_lora,
                 ema_forward=True, timesteps=t_nr,
+                modality_mask=model.modality_mask(target, modality),
             )
             nr_logits = model.head_forward(
                 base_vars, nr_out["output_features"], ema_forward=True,
@@ -270,8 +347,9 @@ def make_train_step(model: MADM, tc: TrainConfig, tx):
         def loss_src(trainable):
             params = merge_trainable(trainable, frozen)
             variables = {**base_vars, "params": params}
-            src_out = model.backbone_forward(
+            src_out = backbone(
                 variables, source, input_modal="rgb", lora_name=src_lora, train=True,
+                modality_mask=model.modality_mask(source, "rgb"),
             )
             src_logits, bn1 = model.head_forward(
                 variables, src_out["output_features"], train=True,
@@ -281,9 +359,10 @@ def make_train_step(model: MADM, tc: TrainConfig, tx):
             if tc.fd:
                 ori_params = {**params, "unet": ts.consts["ori_unet"],
                               "prompt": ts.consts["ori_prompt"]}
-                ori_out = model.backbone_forward(
+                ori_out = backbone(
                     {**variables, "params": ori_params}, source,
                     input_modal="rgb", lora_name=None,
+                    modality_mask=model.modality_mask(source, "rgb"),
                 )
                 losses["feature_distance_loss"] = criterion.feature_distance_loss(
                     src_out["unet_taps"],
@@ -302,8 +381,10 @@ def make_train_step(model: MADM, tc: TrainConfig, tx):
             params = merge_trainable(trainable, frozen)
             var1 = {**base_vars, "params": params,
                     "state": {**ts.state, "head_bn": bn1}}
-            mix_out = model.backbone_forward(
+            mix_out = backbone(
                 var1, mixed_img, input_modal="mixed", lora_name=tgt_lora, train=True,
+                modality_mask=model.mixed_modality_mask(mix_mask, modality),
+                latent_noise_rng=k_aln,
             )
             mix_logits, bn2 = model.head_forward(
                 var1, mix_out["output_features"], train=True,
@@ -321,14 +402,21 @@ def make_train_step(model: MADM, tc: TrainConfig, tx):
                 )
                 masked_img = dacs.mask_image(k_micmask, masked_img, tc.mask_ratio)
                 masked_img = jax.lax.stop_gradient(masked_img)
-                mic_out = model.backbone_forward(
+                mic_out = backbone(
                     var1, masked_img, input_modal="others", lora_name=tgt_lora,
                     train=True,
+                    modality_mask=model.modality_mask(target, modality),
                 )
                 if tc.mic:
-                    mic_logits = model.head_forward(
-                        var1, mic_out["output_features"], train=True,
-                        dropout_rng=k_micdrop, use_sec_modal=True,
+                    # BN running stats chain source -> mixed -> masked like
+                    # the reference's sequential train() forwards
+                    bn_key = (
+                        "head_sec_bn" if mcfg.sem_seg_head_sec_modal else "head_bn"
+                    )
+                    var2 = {**var1, "state": {**ts.state, bn_key: bn2}}
+                    mic_logits, bn2 = model.head_forward(
+                        var2, mic_out["output_features"], train=True,
+                        dropout_rng=k_micdrop, update_bn=True, use_sec_modal=True,
                     )
                     losses["masked_prompt_consistency_loss"] = criterion.cross_entropy(
                         mic_logits, pseudo_label, pixel_weight=pseudo_weight
@@ -342,9 +430,10 @@ def make_train_step(model: MADM, tc: TrainConfig, tx):
             if tc.denoise_supervise:
                 lo, hi = tc.denoise_timestep_range
                 t_ds = jax.random.randint(k_dst, (b,), lo, hi + 1)
-                ds_out = model.backbone_forward(
+                ds_out = backbone(
                     var1, target, input_modal="others", lora_name=tgt_lora,
                     timesteps=t_ds, train=True,
+                    modality_mask=model.modality_mask(target, modality),
                 )
                 losses["denoise_consistency_loss"] = criterion.denoise_consistency_loss(
                     ds_out["before_vae_decoder"], pl_color_lat, pv,
@@ -360,9 +449,10 @@ def make_train_step(model: MADM, tc: TrainConfig, tx):
                     k_nrjit, target, tc.color_jitter_strength,
                     tc.color_jitter_probability, tc.blur,
                 ))
-                nr_student = model.backbone_forward(
+                nr_student = backbone(
                     var1, aug_target, input_modal="others", lora_name=tgt_lora,
                     train=True,
+                    modality_mask=model.modality_mask(target, modality),
                 )
                 losses["noise_reg_loss"] = criterion.denoise_consistency_loss(
                     nr_student["before_vae_decoder"], nr_color_lat, 1.0,
@@ -370,7 +460,7 @@ def make_train_step(model: MADM, tc: TrainConfig, tx):
                 )
             return sum(losses.values()), (losses, bn2)
 
-        trainable, _ = split_trainable({"params": ts.params})
+        trainable, _ = split_trainable({"params": ts.params}, mcfg.finetune_unet)
         (_, (losses_src, bn1)), grads_src = jax.value_and_grad(
             loss_src, has_aux=True
         )(trainable)

@@ -52,6 +52,47 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--slide_inference", action="store_true")
     p.add_argument("--eval_with_noise", type=int, default=None,
                    help="fixed diffusion timestep at eval (mtmadise.py:681)")
+    # the rest of the reference flag surface (main.py:721-817) — each maps to
+    # the same cfg mutation the reference performs (main.py:356-692); see
+    # README for the full per-flag table
+    p.add_argument("--wandb", action="store_true")
+    p.add_argument("--log-tag", dest="log_tag", default=None)
+    p.add_argument("--amp", action="store_true",
+                   help="accepted for parity; TPU always computes in bf16")
+    p.add_argument("--reference-world-size", "--ref", dest="reference_world_size",
+                   type=int, default=None)
+    p.add_argument("--enable_sem_seg_head_sec_modal", action="store_true")
+    p.add_argument("--stop_iter", type=int, default=None)
+    p.add_argument("--unet_lr", type=float, default=None)
+    p.add_argument("--vis_period", type=int, default=None)
+    p.add_argument("--use_checkpoint", action="store_true")
+    p.add_argument("--same_cond_params", action="store_true")
+    p.add_argument("--disable_mixup", action="store_true")
+    p.add_argument("--disable_color_aug", action="store_true")
+    p.add_argument("--pl_crop", action="store_true")
+    p.add_argument("--pseudo_threshold", type=float, default=None)
+    p.add_argument("--MIC", dest="mic", action="store_true")
+    p.add_argument("--mask_ratio", type=float, default=None)
+    p.add_argument("--MIC_reg", dest="mic_reg", type=float, default=None)
+    p.add_argument("--MIC_reg_wo_pl_val", dest="mic_reg_wo_pl_val",
+                   action="store_true")
+    p.add_argument("--FD", dest="fd", type=float, default=None)
+    p.add_argument("--noise_reg", type=float, default=None)
+    p.add_argument("--denoise_supervise", type=float, default=None)
+    p.add_argument("--denoise_timestep_range", type=int, nargs="+", default=None)
+    p.add_argument("--rev_noise_sup", action="store_true")
+    p.add_argument("--rev_noise_end_iter", type=int, default=None)
+    p.add_argument("--rev_noise_gradually", action="store_true")
+    p.add_argument("--reg_uncertain", action="store_true")
+    p.add_argument("--vae_decoder_loss", default=None, choices=["s", "t", "st"])
+    p.add_argument("--vae_decoder_loss_type", default=None, choices=["L1", "L2"])
+    p.add_argument("--vae_decoder_loss_weight", type=float, nargs="+", default=None)
+    p.add_argument("--finetune_without_cross_attention", action="store_true")
+    p.add_argument("--finetune_no", action="store_true")
+    p.add_argument("--remove_amp", type=float, nargs="+", default=None,
+                   help="FDA amplitude-removal range for source images "
+                        "(dataset-side, cross_modality_dataset.py:112-126)")
+    p.add_argument("--slide_training", action="store_true")
     p.add_argument("--num_chips", type=int, default=None,
                    help="limit the mesh to the first N local devices")
     p.add_argument("--distributed", action="store_true",
@@ -90,6 +131,73 @@ def apply_cli_mutations(cfg, args):
         cfg.dataloader.train.dataset.rare_class_sample = True
     if args.lora_configs is not None:
         cfg.model.lora_configs = [s for s in args.lora_configs.split(",") if s]
+    if args.wandb:
+        cfg.train.wandb["enable_writer"] = True
+    if args.log_tag:
+        cfg.train.run_name = args.log_tag
+    if args.amp:
+        cfg.train.amp["enabled"] = True  # bf16 on TPU; no GradScaler
+    if args.reference_world_size is not None:
+        cfg.train.reference_world_size = args.reference_world_size
+    if args.enable_sem_seg_head_sec_modal:
+        cfg.model.sem_seg_head_sec_modal = True
+    if args.stop_iter is not None:
+        cfg.train.stop_iter = args.stop_iter
+    if args.unet_lr is not None:
+        cfg.optimizer["unet_lr"] = args.unet_lr
+    if args.vis_period is not None:
+        cfg.train.vis_period = args.vis_period
+    if args.use_checkpoint:
+        cfg.model.remat = True
+    if args.same_cond_params:
+        cfg.model.same_cond_params = True
+    if args.disable_mixup:
+        cfg.model.enable_mixup = False
+    if args.disable_color_aug:  # color_aug_flag=False (cmdise.py:141)
+        cfg.model.color_jitter_probability = 0.0
+        cfg.model.color_jitter_strength = 0.0
+    if args.pl_crop:
+        cfg.model.pl_crop = True
+    if args.pseudo_threshold is not None:
+        cfg.model.pseudo_threshold = args.pseudo_threshold
+    if args.mic:
+        cfg.model.mic = True
+    if args.mask_ratio is not None:
+        cfg.model.mask_ratio = args.mask_ratio
+    if args.mic_reg is not None:
+        cfg.model.mic_reg = args.mic_reg
+    if args.mic_reg_wo_pl_val:
+        cfg.model.mic_reg_wo_pl_val = True
+    if args.fd is not None:
+        cfg.model.fd = args.fd
+    if args.noise_reg is not None:
+        cfg.model.noise_reg = args.noise_reg
+    if args.denoise_supervise is not None:
+        cfg.model.denoise_supervise = args.denoise_supervise
+    if args.denoise_timestep_range is not None:
+        cfg.model.denoise_timestep_range = list(args.denoise_timestep_range)
+    if args.rev_noise_sup:
+        cfg.model.rev_noise_sup = True
+    if args.rev_noise_end_iter is not None:
+        cfg.model.rev_noise_end_iter = args.rev_noise_end_iter
+    if args.rev_noise_gradually:
+        cfg.model.rev_noise_gradually = True
+    if args.reg_uncertain:
+        cfg.model.reg_uncertain = True
+    if args.vae_decoder_loss is not None:
+        cfg.model.vae_decoder_loss = args.vae_decoder_loss
+    if args.vae_decoder_loss_type is not None:
+        cfg.model.vae_decoder_loss_type = args.vae_decoder_loss_type
+    if args.vae_decoder_loss_weight is not None:
+        cfg.model.vae_decoder_loss_weight = list(args.vae_decoder_loss_weight)
+    if args.finetune_without_cross_attention:
+        cfg.model.finetune_unet = "without cross-attention"
+    if args.finetune_no:
+        cfg.model.finetune_unet = "no"
+    if args.remove_amp is not None:
+        cfg.dataloader.train.dataset.remove_amp = list(args.remove_amp)
+    if args.slide_training:
+        cfg.model.slide_training = True
     if args.tag:
         cfg.train.run_tag = args.tag
     out = args.output or os.path.join(
@@ -97,6 +205,22 @@ def apply_cli_mutations(cfg, args):
     )
     cfg.train.output_dir = out
     return cfg
+
+
+def apply_step2_convention(cfg, args):
+    """Two-stage training convention (reference ``main.py:301-302,405-406``):
+    when the train manifest name contains ``step_2``, stage-2 source data
+    (stage-1 pseudo-labeled outputs) lives beside the manifest, and
+    ``train.init_checkpoint`` is auto-loaded before training."""
+    ds = cfg.dataloader.train.dataset
+    json_path = str(ds.get("json_path", ""))
+    if "step_2" not in os.path.basename(json_path):
+        return
+    ds.source_root_path = os.path.dirname(json_path)
+    cfg.dataloader.test.dataset.source_root_path = ds.source_root_path
+    if not args.init_from and cfg.train.get("init_checkpoint"):
+        args.init_from = cfg.train.init_checkpoint
+        logger.info(f"step_2 manifest: auto-loading {args.init_from}")
 
 
 def setup(args):
@@ -117,6 +241,7 @@ def setup(args):
     cfg = LazyConfig.load(args.config_file)
     cfg = apply_cli_mutations(cfg, args)
     LazyConfig.apply_overrides(cfg, args.opts)
+    apply_step2_convention(cfg, args)
     if cfg.train.get("reference_world_size", 0):
         import jax
 
@@ -141,6 +266,16 @@ def build_model_and_state(cfg, args):
         logger.info(f"loading SD snapshot from {args.sd_snapshot}")
         sd = load_sd_snapshot(args.sd_snapshot)
         clip_text = sd.pop("clip_text", None)
+        if model.cfg.input_channel_plus or model.cfg.concat_pixel_shuffle:
+            # conv_in surgery: widen the 4-channel SD kernel with the
+            # reference's copy rules (ldm_diffusers.py:60-99)
+            from madm_tpu.checkpoint import expand_conv_in
+
+            sd["unet"]["conv_in"]["kernel"] = expand_conv_in(
+                sd["unet"]["conv_in"]["kernel"],
+                model.cfg.input_channel_plus,
+                model.cfg.concat_pixel_shuffle,
+            )
         variables["params"] = merge_into_variables(variables["params"], sd)
         if clip_text is not None:
             # recompute the empty-prompt embedding from the real text encoder
@@ -149,7 +284,7 @@ def build_model_and_state(cfg, args):
 
             variables["consts"]["uncond_inputs"] = compute_uncond_inputs(clip_text)
 
-    trainable, _ = split_trainable(variables)
+    trainable, _ = split_trainable(variables, model.cfg.finetune_unet)
     opt = cfg.optimizer
     tx = make_optimizer(
         trainable,
@@ -177,9 +312,16 @@ def state_to_variables(state):
 
 
 def do_test(cfg, model, state, args, iteration=0):
+    import jax
+
     from madm_tpu.config import instantiate
     from madm_tpu.evaluation import inference_on_dataset
+    from madm_tpu.parallel import make_mesh
 
+    devices = jax.devices()
+    if args.num_chips:
+        devices = devices[: args.num_chips]
+    mesh = make_mesh(devices)  # eval crops ride the data axis
     loader = instantiate(cfg.dataloader.test)
     evaluator = instantiate(cfg.dataloader.evaluator)[0]
     evaluator._output_dir = os.path.join(cfg.train.output_dir, f"{iteration:06d}")
@@ -188,9 +330,13 @@ def do_test(cfg, model, state, args, iteration=0):
         state_to_variables(state),
         loader,
         evaluator,
+        mesh=mesh,
         lora_name=model.cfg.target_modality if model.lora_specs else None,
         slide_inference=args.slide_inference,
-        eval_with_noise=args.eval_with_noise,
+        eval_with_noise=(
+            args.eval_with_noise if args.eval_with_noise is not None
+            else model.cfg.eval_with_noise  # mtmadise.py:46,681-682
+        ),
     )
     logger.info(f"eval @ iter {iteration}: {dict(results['sem_seg'])}")
     return {k: v for k, v in results["sem_seg"].items() if not k.startswith(("IoU-", "ACC-"))}
@@ -211,26 +357,9 @@ def do_train(cfg, args):
 
     logger.info("parameters:\n" + parameter_count_table(state.params))
 
-    uda_cfg = cfg.get("uda", {})
-    tc = TrainConfig(
-        max_iter=cfg.train.max_iter,
-        ema_alpha=model.cfg.ema_alpha,
-        pseudo_threshold=model.cfg.pseudo_threshold,
-        blur=uda_cfg.get("blur", True),
-        color_jitter_strength=uda_cfg.get("color_jitter_strength", 0.2),
-        color_jitter_probability=uda_cfg.get("color_jitter_probability", 0.2),
-        enable_mixup=uda_cfg.get("enable_mixup", True),
-        rev_noise_sup=uda_cfg.get("rev_noise_sup", False),
-        rev_noise_end_iter=uda_cfg.get("rev_noise_end_iter") or cfg.train.max_iter,
-        rev_noise_gradually=uda_cfg.get("rev_noise_gradually", False),
-        denoise_timestep_range=tuple(uda_cfg.get("denoise_timestep_range") or (0, 0)),
-        vae_decoder_loss=uda_cfg.get("vae_decoder_loss", ""),
-        vae_decoder_loss_type=uda_cfg.get("vae_decoder_loss_type", "L1"),
-        vae_decoder_loss_weight=tuple(
-            (uda_cfg.get("vae_decoder_loss_weight") or [1.0, 1.0]) + [1.0]
-        )[:2],
-        reg_uncertain=uda_cfg.get("reg_uncertain", False),
-    )
+    from madm_tpu.train import build_train_config
+
+    tc = build_train_config(cfg, model.cfg)
 
     devices = jax.devices()
     if args.num_chips:
@@ -252,6 +381,13 @@ def do_train(cfg, args):
     ckpt = Checkpointer(cfg.train.output_dir)
     state, resumed = ckpt.resume_or_load(state, args.init_from, args.resume, model)
     start_iter = int(state.step)
+
+    if tc.fd:
+        # snapshot the init UNet/prompt as the feature-distance target
+        # (reference ``ori_unet = deepcopy(...)``, cmdise.py:332-335)
+        from madm_tpu.train.train_step import add_feature_distance_baseline
+
+        state = add_feature_distance_baseline(state)
 
     step_fn = make_sharded_train_step(make_train_step(model, tc, tx), mesh, state)
     state = place_state(mesh, state)
@@ -325,8 +461,10 @@ def do_train(cfg, args):
     rng = jax.random.PRNGKey(cfg.train.seed)
     data_iter = iter(loader)
     t_last = time.perf_counter()
+    # --stop_iter halts early without shortening the lr schedule
+    stop_iter = min(cfg.train.max_iter, cfg.train.get("stop_iter") or cfg.train.max_iter)
     try:
-        for it in range(start_iter, cfg.train.max_iter):
+        for it in range(start_iter, stop_iter):
             t0 = time.perf_counter()
             batch = next(data_iter)
             batch = shard_batch(mesh, batch)

@@ -57,6 +57,24 @@ def test_inference_on_dataset(dataset):
     assert ev.eval_index == 3
 
 
+def test_mesh_sharded_eval_matches_single_device(dataset):
+    """`do_test` mesh path: eval over the 8-device mesh produces the same
+    confusion matrix as the single-device loop (incl. tail-group padding —
+    3 images into one group of 8)."""
+    from madm_tpu.parallel import make_mesh
+
+    model = MADM(MADMConfig(**TINY))
+    variables = model.init_params(jax.random.PRNGKey(0))
+    ev1 = DSECSemSegEvaluator(stuff_classes=[f"c{i}" for i in range(5)])
+    inference_on_dataset(model, variables, TestLoader(dataset), ev1)
+    conf1 = ev1._conf_matrix.copy()
+
+    mesh = make_mesh(jax.devices())
+    ev2 = DSECSemSegEvaluator(stuff_classes=[f"c{i}" for i in range(5)])
+    inference_on_dataset(model, variables, TestLoader(dataset), ev2, mesh=mesh)
+    np.testing.assert_array_equal(conf1, ev2._conf_matrix)
+
+
 def test_test_loader_sharding(dataset):
     l0 = TestLoader(dataset, shard_index=0, num_shards=2)
     l1 = TestLoader(dataset, shard_index=1, num_shards=2)

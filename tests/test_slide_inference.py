@@ -75,3 +75,47 @@ def test_pad_to_divisible():
     padded, (h, w) = pad_to_divisible(img, 64)
     assert padded.shape == (1, 64, 128, 3)
     assert (h, w) == (60, 100)
+
+
+def test_slide_windows_derivation(model_vars):
+    model, _ = model_vars
+    assert model.slide_windows(64, 128) == WINDOWS
+    assert model.slide_windows(64, 64) == ((0, 64, 0, 64),)
+
+
+def test_slide_training_step(model_vars):
+    """slide_training: the train step runs the sliding backbone on
+    larger-than-crop inputs and produces finite grads/losses
+    (reference slide_forward under training, feature_extractor.py:199-278)."""
+    from madm_tpu.train import (
+        TrainConfig, make_optimizer, make_train_state, make_train_step,
+        split_trainable,
+    )
+
+    model = MADM(MADMConfig(**TINY, slide_training=True))
+    _, variables_small = model_vars
+    variables = variables_small  # same param shapes (config differs only in flags)
+    tc = TrainConfig(
+        max_iter=10, rev_noise_sup=False, vae_decoder_loss="",
+        reg_uncertain=False,
+    )
+    trainable, _ = split_trainable(variables)
+    tx = make_optimizer(trainable, max_iter=10)
+    state = make_train_state(model, variables, tx)
+    step_fn = jax.jit(make_train_step(model, tc, tx))
+    batch = {
+        "source_rgb": jax.random.uniform(jax.random.PRNGKey(4), (1, 64, 128, 3)),
+        "source_label": jax.random.randint(jax.random.PRNGKey(5), (1, 64, 128), 0, 5),
+        "target_second_modality": jax.random.uniform(jax.random.PRNGKey(6), (1, 64, 128, 3)),
+    }
+    new_state, metrics = step_fn(state, batch, jax.random.PRNGKey(7))
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert float(metrics["grad_norm"]) > 0
+
+
+def test_slide_training_rejects_decoder_losses(model_vars):
+    from madm_tpu.train import TrainConfig, make_train_step
+
+    model = MADM(MADMConfig(**TINY, slide_training=True))
+    with pytest.raises(ValueError, match="slide_training"):
+        make_train_step(model, TrainConfig(vae_decoder_loss="st"), None)

@@ -81,6 +81,38 @@ def test_ema_tracks_student(setup):
     )
 
 
+def test_all_uda_options_produce_their_losses(setup):
+    """Every optional UDA loss (mic, mic_reg, denoise_supervise, fd,
+    noise_reg, pl_crop) is reachable from config and yields a finite loss
+    (reference mtmadise.py:404-463, cmdise.py:332-335)."""
+    from madm_tpu.train.train_step import add_feature_distance_baseline
+
+    model, state, _, _ = setup
+    tc = TrainConfig(
+        max_iter=10, rev_noise_end_iter=5,
+        mic=True, mask_ratio=0.7, mic_reg=1.0, denoise_supervise=1.0,
+        fd=0.5, noise_reg=1.0, pl_crop=True, pseudo_weight_scope="sample",
+    )
+    trainable, _ = split_trainable({"params": state.params})
+    tx = make_optimizer(trainable, max_iter=10)
+    state_fd = add_feature_distance_baseline(state)
+    step_fn = jax.jit(make_train_step(model, tc, tx))
+    batch = {
+        "source_rgb": jax.random.uniform(jax.random.PRNGKey(7), (2, 64, 64, 3)),
+        "source_label": jax.random.randint(jax.random.PRNGKey(8), (2, 64, 64), 0, 11),
+        "target_second_modality": jax.random.uniform(jax.random.PRNGKey(9), (2, 64, 64, 3)),
+    }
+    _, metrics = step_fn(state_fd, batch, jax.random.PRNGKey(43))
+    for key in (
+        "masked_prompt_consistency_loss", "mic_vae_decoder_loss",
+        "denoise_consistency_loss", "feature_distance_loss", "noise_reg_loss",
+        "source_loss", "target_loss", "vae_decoder_source_loss",
+        "vae_decoder_target_loss",
+    ):
+        assert key in metrics, f"missing {key}: {sorted(metrics)}"
+        assert np.isfinite(float(metrics[key])), f"{key} = {metrics[key]}"
+
+
 def test_grad_clip_bounds_grad_norm(setup):
     # grad_norm metric is pre-clip; clipping is inside the optimizer — just
     # check the update magnitude is bounded by lr * clip-ish scale
