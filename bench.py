@@ -7,9 +7,11 @@ throughput per chip.
 
 Baseline note: the reference publishes accuracy only (SURVEY.md §6 — no
 throughput numbers exist in XiaRho/MADM).  ``vs_baseline`` is computed
-against an estimated 2xA100 reference rate for the same pass
-(batch-1 torch eager fp16, ~80 ms/crop per GPU => ~12.5 crops/s/GPU), kept
-fixed across rounds so the trend is comparable.
+against a DERIVED per-A100 rate for the reference's own eval protocol
+(batch-1 torch eager fp16): 6.34 TFLOP/crop through per-module
+batch-1-eager efficiencies ≈ 74 ms/crop ≈ 13.5 crops/s, held at the
+conservative 12.5 — see BASELINE.md "Derived A100 reference throughput"
+for the full table.  Kept fixed across rounds so the trend is comparable.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -48,8 +50,7 @@ def main():
 
     @jax.jit
     def eval_fn(variables, images):
-        logits = model.eval_forward(variables, images)
-        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        pred = model.eval_forward_ids(variables, images)
         return pred.sum()  # scalar: fetching it is the only reliable sync
         # NOTE: on the tunneled 'axon' platform block_until_ready() does not
         # block — timing must fetch a device scalar

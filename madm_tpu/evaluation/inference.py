@@ -64,9 +64,9 @@ def make_eval_fn(model, lora_name: Optional[str] = None,
 
     def eval_fn(variables, image):
         padded, (h, w) = pad_to_divisible(image)
-        logits = model.eval_forward(variables, padded, lora_name=lora_name,
-                                    eval_with_noise=eval_with_noise)
-        return jnp.argmax(logits[:, :h, :w], axis=-1).astype(jnp.int32)
+        ids = model.eval_forward_ids(variables, padded, lora_name=lora_name,
+                                     eval_with_noise=eval_with_noise)
+        return ids[:, :h, :w]
 
     return _jit_eval(eval_fn, mesh)
 

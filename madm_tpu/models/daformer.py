@@ -130,6 +130,7 @@ class DAFormerHead(nn.Module):
         features: Dict[str, jax.Array],
         train: bool = False,
         dropout_rng: Optional[jax.Array] = None,
+        return_pre_seg: bool = False,
     ) -> jax.Array:
         xs = [features[k] for k in self.in_keys]
         os_size = xs[0].shape[1:3]
@@ -146,6 +147,11 @@ class DAFormerHead(nn.Module):
                 self.dropout_ratio, broadcast_dims=(1, 2), deterministic=False,
                 rng_collection="dropout", name="dropout",
             )(x)
+        if return_pre_seg:
+            # eval fast path: the caller fuses conv_seg+argmax in Pallas so
+            # the lane-padded [.., num_classes] logits never reach HBM
+            # (conv_seg params exist from init, which runs the full path)
+            return x
         x = nn.Conv(
             self.num_classes, (1, 1), dtype=self.dtype,
             kernel_init=nn.initializers.normal(0.01), name="conv_seg",

@@ -535,6 +535,7 @@ class MADM:
         dropout_rng: Optional[jax.Array] = None,
         update_bn: bool = False,
         use_sec_modal: bool = False,
+        return_pre_seg: bool = False,
     ):
         """DAFormer head; returns logits [B, h, w, C] (+ new BN stats if
         ``update_bn``).  ``use_sec_modal`` routes to the separate target
@@ -571,7 +572,10 @@ class MADM:
                 var_in, features, train=True, rngs=rngs, mutable=["batch_stats"]
             )
             return logits
-        logits = self.head.apply(var_in, features, train=train, rngs=rngs)
+        logits = self.head.apply(
+            var_in, features, train=train, rngs=rngs,
+            return_pre_seg=return_pre_seg,
+        )
         return logits
 
     # ----------------------------------------------------------- eval pass
@@ -599,3 +603,90 @@ class MADM:
         logits = self.head_forward(variables, feats, use_sec_modal=True)
         logits = resize_bilinear(logits.astype(jnp.float32), images.shape[1:3])
         return logits
+
+    def _eval_head_mode(self, image_shape) -> str:
+        """Static choice of the eval head implementation:
+
+        - 'argmax' (default on TPU): module head up to the bottleneck, then
+          the Pallas conv_seg+argmax kernel — keeps XLA's batch-in-sublanes
+          depthwise-conv layout (fastest at batch 8) while skipping the
+          lane-padded logits tensor and its separate argmax pass.
+        - 'full' (``MADM_FUSED_HEAD=full``): the fully fused head
+          (``ops.aspp.fused_head_forward``) — reads the concat once per
+          branch via the Pallas depthwise kernel; wins at batch 1 where
+          XLA's depthwise layout wastes 7/8 sublanes.
+        - 'none' (default): plain argmax(eval_forward).  Measured on v5e at
+          batch 8 (see CLAUDE.md): XLA's fully-fused module head (its
+          bottleneck+conv_seg convolution fusion and batch-in-sublanes
+          depthwise layout) beats both Pallas variants — 16.9 crops/s vs
+          15.9 ('argmax') and OOM/15.5 ('full'), so the kernels stay
+          opt-in experiments.
+        """
+        import os
+
+        knob = os.environ.get("MADM_FUSED_HEAD", "0")
+        if knob in ("0", "auto") or jax.default_backend() == "cpu":
+            return "none"
+        cfg = self.cfg
+        shapes_ok = (
+            len(cfg.in_keys) == 4
+            and cfg.in_keys[0] == "s0"
+            and image_shape[1] % 16 == 0
+            and image_shape[2] % 128 == 0
+        )
+        if not shapes_ok:
+            return "none"
+        if knob in ("1", "full") and (
+            tuple(self.head.dilations) == (1, 6, 12, 18)
+            and self.head.embed_dims == 256
+            and cfg.head_channels == 256
+        ):
+            return "full"
+        return "argmax"
+
+    def eval_forward_ids(
+        self,
+        variables: Dict[str, Any],
+        images: jax.Array,
+        lora_name: Optional[str] = None,
+        eval_with_noise: Optional[int] = None,
+    ) -> jax.Array:
+        """Eval argmax ids [B, H, W] — the TPU inference hot path.
+
+        Where applicable this runs the fused Pallas head
+        (``ops.aspp.fused_head_forward``): one read of the embeds for all
+        three dilated depthwise convs, no 1024-ch concat materialization,
+        and conv_seg+argmax fused so the lane-padded logits tensor never
+        reaches HBM.  Falls back to ``eval_forward`` + argmax otherwise
+        (numerically: same argmax, validated in tests)."""
+        timesteps = (
+            None if eval_with_noise is None
+            else jnp.full((images.shape[0],), eval_with_noise, jnp.int32)
+        )
+        feats = self.backbone_forward(
+            variables, images, input_modal="others", lora_name=lora_name,
+            timesteps=timesteps,
+            modality_mask=self.modality_mask(images, self.cfg.target_modality),
+        )["output_features"]
+        mode = self._eval_head_mode(images.shape)
+        sec = self.cfg.sem_seg_head_sec_modal
+        if mode != "none":
+            from ..ops import aspp
+
+            p = variables["params"]["head_sec" if sec else "head"]
+            bn = variables["state"]["head_sec_bn" if sec else "head_bn"]
+            if mode == "full":
+                return aspp.fused_head_forward(
+                    p, bn, feats, self.cfg.in_keys, self.cfg.num_classes,
+                    compute_dtype=self.cfg.compute_dtype,
+                )
+            pre = self.head_forward(
+                variables, feats, use_sec_modal=True, return_pre_seg=True
+            )
+            return aspp.matmul_argmax(
+                pre.astype(self.cfg.compute_dtype),
+                p["conv_seg"]["kernel"][0, 0], p["conv_seg"]["bias"],
+            )
+        logits = self.head_forward(variables, feats, use_sec_modal=True)
+        logits = resize_bilinear(logits.astype(jnp.float32), images.shape[1:3])
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)

@@ -97,14 +97,124 @@ def _fa_fwd(q, k, v, scale, interpret):
 
 
 def _fa_bwd(scale, interpret, res, g):
-    from .attention import _xla_attention
+    import os
 
     q, k, v = res
-    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_attention(q_, k_, v_, scale), q, k, v)
-    return vjp(g)
+    if os.environ.get("MADM_FLASH_BWD", "pallas") == "xla":
+        # legacy fallback: XLA recompute (materializes the S x S scores)
+        from .attention import _xla_attention
+
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: _xla_attention(q_, k_, v_, scale), q, k, v
+        )
+        return vjp(g)
+    return _flash_attention_bwd_impl(q, k, v, g, scale=scale, interpret=interpret)
 
 
 _flash_attention_vjp.defvjp(_fa_fwd, _fa_bwd)
+
+
+# ------------------------------------------------------------- backward
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+                     *, scale: float, kv_len: int):
+    """One q-block of the flash backward; dk/dv accumulate across q blocks
+    (their output block is revisited — zeroed at qi == 0).
+
+    Softmax vjp without saved outputs or row stats: recompute P from Q/K in
+    VMEM, then dS = P * (dP - rowsum(dP * P))."""
+    qi = pl.program_id(2)
+    q = q_ref[0, 0]  # [bq, D]
+    k = k_ref[0, 0]  # [Skp, D]
+    v = v_ref[0, 0]
+    g = g_ref[0, 0].astype(jnp.float32)  # [bq, D]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    sk_pad = k.shape[0]
+    if kv_len < sk_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, -jnp.inf)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)  # [bq, Skp] f32
+
+    dp = jax.lax.dot_general(
+        g, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [bq, Skp]
+    delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+    ds = (p * (dp - delta)).astype(q.dtype)  # bf16 for the MXU dots
+
+    dq = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+
+    @pl.when(qi == 0)
+    def _():
+        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
+        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+
+    dk_ref[0, 0] += (
+        jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+    ).astype(dk_ref.dtype)
+    dv_ref[0, 0] += jax.lax.dot_general(
+        p.astype(q.dtype), g.astype(q.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def _flash_attention_bwd_impl(q, k, v, g, scale: float, interpret: bool = False):
+    """Pallas flash backward: returns (dq, dk, dv) in the [B, S, H, D]
+    layout of the public API.  K/V (and the per-block scores) stay in VMEM —
+    the S x S score matrix never reaches HBM, unlike the XLA-recompute VJP."""
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    qT = jnp.transpose(q, (0, 2, 1, 3))
+    kT = jnp.transpose(k, (0, 2, 1, 3))
+    vT = jnp.transpose(v, (0, 2, 1, 3))
+    gT = jnp.transpose(g, (0, 2, 1, 3))
+    sk_pad = max(128, -(-sk // 128) * 128)
+    if sk_pad != sk:
+        pad = [(0, 0), (0, 0), (0, sk_pad - sk), (0, 0)]
+        kT = jnp.pad(kT, pad)
+        vT = jnp.pad(vT, pad)
+
+    bq = _pick_bq(sq, sk_pad, d, q.dtype.itemsize)
+    grid = (b, h, sq // bq)
+    kernel = functools.partial(_attn_bwd_kernel, scale=scale, kv_len=sk)
+    qspec = pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, 1, sk_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                          memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[qspec, kvspec, kvspec, qspec],
+        out_specs=[qspec, kvspec, kvspec],
+        out_shape=[
+            jax.ShapeDtypeStruct(qT.shape, q.dtype),
+            jax.ShapeDtypeStruct(kT.shape, jnp.float32),
+            jax.ShapeDtypeStruct(vT.shape, jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * h * sq * sk * d,
+            bytes_accessed=3 * (q.size + k.size) * q.dtype.itemsize,
+            transcendentals=b * h * sq * sk,
+        ),
+        interpret=interpret,
+    )(qT, kT, vT, gT)
+    dq = jnp.transpose(dq, (0, 2, 1, 3))
+    dk = jnp.transpose(dk[:, :, :sk], (0, 2, 1, 3)).astype(k.dtype)
+    dv = jnp.transpose(dv[:, :, :sk], (0, 2, 1, 3)).astype(v.dtype)
+    return dq, dk, dv
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))

@@ -36,3 +36,49 @@ def test_flash_attention_matches_xla(sq, sk, d):
     ref = _xla_attention(q, k, v, scale)
     out = _run_pallas_interpret(q, k, v, scale)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_backward_kernel_matches_autodiff():
+    """Pallas dq/dk/dv kernel vs jax.vjp of the XLA attention."""
+    import numpy as np
+    from madm_tpu.ops.attention import _xla_attention
+    from madm_tpu.ops.flash_attention import _flash_attention_bwd_impl
+
+    rng = np.random.default_rng(0)
+    B, Sq, Sk, H, D = 1, 128, 77, 4, 40
+    q = jnp.asarray(rng.normal(size=(B, Sq, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, Sk, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, Sk, H, D)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(B, Sq, H, D)).astype(np.float32))
+    scale = D ** -0.5
+    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_attention(q_, k_, v_, scale), q, k, v)
+    refs = vjp(g)
+    outs = _flash_attention_bwd_impl(q, k, v, g, scale=scale, interpret=True)
+    for a, r in zip(outs, refs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=2e-4)
+
+
+def test_flash_attention_grad_through_public_api(monkeypatch):
+    """jax.grad through flash_attention uses the pallas backward."""
+    import numpy as np
+
+    from madm_tpu.ops.flash_attention import flash_attention
+
+    monkeypatch.setenv("MADM_FLASH_BWD", "pallas")
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(1, 64, 2, 40)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, 64, 2, 40)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, 64, 2, 40)).astype(np.float32))
+
+    def loss(q_, k_, v_):
+        return flash_attention(q_, k_, v_, interpret=True).sum()
+
+    from madm_tpu.ops.attention import _xla_attention
+    gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    rq, rk, rv = jax.grad(
+        lambda a, b, c: _xla_attention(a, b, c, 40 ** -0.5).sum(),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(rq), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(rk), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(rv), atol=2e-4)

@@ -1,0 +1,99 @@
+"""Fused Pallas eval head (ops/aspp.py): numerics vs the Flax head.
+
+Runs the kernels in interpreter mode on CPU; the real-TPU path is exercised
+by bench.py / eval on hardware.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from madm_tpu.models.daformer import DAFormerHead
+from madm_tpu.ops.aspp import dw_branches, fused_head_forward, matmul_argmax
+
+
+def _jitter(tree, seed=[0]):
+    def f(x):
+        seed[0] += 1
+        r = np.random.default_rng(seed[0])
+        return jnp.asarray(r.uniform(0.5, 1.5, x.shape).astype(np.float32))
+
+    return jax.tree.map(f, tree)
+
+
+def test_dw_branches_matches_dilated_depthwise_conv():
+    rng = np.random.default_rng(0)
+    B, H, W = 1, 64, 128
+    embeds = [jnp.asarray(rng.normal(size=(B, H, W, 256)).astype(np.float32))
+              for _ in range(4)]
+    x = jnp.concatenate(embeds, -1)
+    dil = (6, 12, 18)
+    dw_w = jnp.asarray(rng.normal(size=(3, 3, 3, 1024)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(3, 1024)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(3, 1024)).astype(np.float32))
+    outs = dw_branches(embeds, dw_w, scale, bias, dil, interpret=True)
+    for di, d in enumerate(dil):
+        ref = jax.lax.conv_general_dilated(
+            x, dw_w[di][:, :, None, :], (1, 1), ((d, d), (d, d)),
+            rhs_dilation=(d, d), feature_group_count=1024,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        ref = jnp.maximum(ref * scale[di] + bias[di], 0.0)
+        np.testing.assert_allclose(np.asarray(outs[di]), np.asarray(ref),
+                                   atol=1e-3)
+    # single-concat input path (used by the fused head)
+    outs1 = dw_branches([x], dw_w[:1], scale[:1], bias[:1], (6,), interpret=True)
+    np.testing.assert_allclose(np.asarray(outs1[0]), np.asarray(outs[0]),
+                               atol=1e-3)
+
+
+def test_matmul_argmax_matches_jnp():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(1, 64, 128, 256)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(256, 11)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(11,)).astype(np.float32))
+    ids = matmul_argmax(x, w, b, interpret=True)
+    ref = jnp.argmax(x @ w + b, axis=-1).astype(jnp.int32)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ref))
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_fused_head_matches_flax_head(impl, monkeypatch):
+    monkeypatch.setenv("MADM_DW_IMPL", impl)
+    rng = np.random.default_rng(1)
+    feats = {
+        "s0": jnp.asarray(rng.normal(size=(1, 64, 128, 32)).astype(np.float32)),
+        "s3": jnp.asarray(rng.normal(size=(1, 8, 16, 48)).astype(np.float32)),
+        "s4": jnp.asarray(rng.normal(size=(1, 4, 8, 64)).astype(np.float32)),
+        "s5": jnp.asarray(rng.normal(size=(1, 2, 4, 80)).astype(np.float32)),
+    }
+    head = DAFormerHead(in_keys=("s0", "s3", "s4", "s5"), num_classes=11,
+                        dtype=jnp.float32)
+    variables = head.init(jax.random.PRNGKey(0), feats)
+    params, bn = variables["params"], _jitter(variables["batch_stats"])
+    logits = head.apply({"params": params, "batch_stats": bn}, feats, train=False)
+    ref_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    ids = fused_head_forward(params, bn, feats, ("s0", "s3", "s4", "s5"), 11,
+                             compute_dtype=jnp.float32, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ref_ids))
+
+
+def test_eval_forward_ids_falls_back_on_cpu():
+    """On CPU (MADM_FUSED_HEAD=auto) eval_forward_ids takes the XLA path and
+    equals argmax(eval_forward)."""
+    from madm_tpu.models.madm import MADM, MADMConfig
+
+    model = MADM(MADMConfig(
+        num_classes=5, crop_size=(64, 64),
+        unet_channels=(32, 64, 128, 128), vae_channels=(32, 32, 64, 64),
+        feature_dims=(3, 32, 64, 128), projection_dim=(32, 32, 32, 32),
+        compute_dtype=jnp.float32,
+    ))
+    variables = model.init_params(jax.random.PRNGKey(0))
+    img = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    ids = jax.jit(model.eval_forward_ids)(variables, img)
+    ref = jnp.argmax(jax.jit(model.eval_forward)(variables, img), axis=-1)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ref).astype(np.int32))
