@@ -77,16 +77,18 @@ class ResnetBlock2D(nn.Module):
     out_channels: int
     use_temb: bool = True
     dtype: jnp.dtype = jnp.float32
+    # diffusers: UNet resnets use eps=1e-5, the VAE's use 1e-6
+    epsilon: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jax.Array, temb: Optional[jax.Array] = None) -> jax.Array:
         in_channels = x.shape[-1]
-        h = GroupNorm(name="norm1", dtype=self.dtype, act="silu")(x)
+        h = GroupNorm(name="norm1", epsilon=self.epsilon, dtype=self.dtype, act="silu")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv1")(h)
         if self.use_temb and temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
             h = h + t[:, None, None, :]
-        h = GroupNorm(name="norm2", dtype=self.dtype, act="silu")(h)
+        h = GroupNorm(name="norm2", epsilon=self.epsilon, dtype=self.dtype, act="silu")(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv2")(h)
         if in_channels != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)

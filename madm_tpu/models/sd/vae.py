@@ -39,7 +39,7 @@ class VAEAttention(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         b, h, w, c = x.shape
         residual = x
-        x = GroupNorm(name="group_norm", dtype=self.dtype)(x)
+        x = GroupNorm(name="group_norm", epsilon=1e-6, dtype=self.dtype)(x)
         x = x.reshape(b, h * w, c)
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(x)
@@ -72,9 +72,9 @@ class MidBlock2D(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = ResnetBlock2D(self.channels, use_temb=False, dtype=self.dtype, name="resnets_0")(x)
+        x = ResnetBlock2D(self.channels, use_temb=False, epsilon=1e-6, dtype=self.dtype, name="resnets_0")(x)
         x = VAEAttention(self.channels, dtype=self.dtype, name="attentions_0")(x)
-        x = ResnetBlock2D(self.channels, use_temb=False, dtype=self.dtype, name="resnets_1")(x)
+        x = ResnetBlock2D(self.channels, use_temb=False, epsilon=1e-6, dtype=self.dtype, name="resnets_1")(x)
         return x
 
 
@@ -99,7 +99,7 @@ class Encoder(nn.Module):
             for ri in range(LAYERS_PER_BLOCK):
                 if self.tap_type == "in" and index in self.encoder_block_indices:
                     feats.append(x)
-                x = ResnetBlock2D(out_ch, use_temb=False, dtype=self.dtype,
+                x = ResnetBlock2D(out_ch, use_temb=False, epsilon=1e-6, dtype=self.dtype,
                                   name=f"down_blocks_{bi}_resnets_{ri}")(x)
                 index += 1
                 if self.tap_type == "after" and index in self.encoder_block_indices:
@@ -108,7 +108,7 @@ class Encoder(nn.Module):
                 x = VAEDownsample(out_ch, dtype=self.dtype,
                                   name=f"down_blocks_{bi}_downsamplers_0")(x)
         x = MidBlock2D(boc[-1], dtype=self.dtype, name="mid_block")(x)
-        x = GroupNorm(name="conv_norm_out", dtype=self.dtype, act="silu")(x)
+        x = GroupNorm(name="conv_norm_out", epsilon=1e-6, dtype=self.dtype, act="silu")(x)
         x = nn.Conv(2 * LATENT_CHANNELS, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name="conv_out")(x)
         moments = nn.Conv(2 * LATENT_CHANNELS, (1, 1), dtype=self.dtype, name="quant_conv")(x)
@@ -141,13 +141,13 @@ class Decoder(nn.Module):
                 if index in self.decoder_block_indices:
                     feats.append(x)
                 index += 1
-                x = ResnetBlock2D(out_ch, use_temb=False, dtype=self.dtype,
+                x = ResnetBlock2D(out_ch, use_temb=False, epsilon=1e-6, dtype=self.dtype,
                                   name=f"up_blocks_{bi}_resnets_{ri}")(x)
             if bi != len(up_channels) - 1:
                 x = Upsample2D(out_ch, dtype=self.dtype,
                                name=f"up_blocks_{bi}_upsamplers_0")(x)
         if not output_final:
             return None, feats
-        x = GroupNorm(name="conv_norm_out", dtype=self.dtype, act="silu")(x)
+        x = GroupNorm(name="conv_norm_out", epsilon=1e-6, dtype=self.dtype, act="silu")(x)
         x = nn.Conv(3, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv_out")(x)
         return x, feats
