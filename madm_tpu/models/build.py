@@ -58,6 +58,9 @@ def build_madm(
     unet_block_indices: Sequence[int] = (5, 8, 11),
     unet_block_indices_type: str = "after",
     head_channels: int = 256,
+    head_fusion: str = "aspp",
+    final_fuse_vae_decoder_feat: bool = False,
+    concat_attention_to_conv_seg: bool = False,
     same_cond_params: bool = True,
     vae_decoder_loss: str = "st",
     train_palette: Sequence[int] = (),
@@ -109,6 +112,9 @@ def build_madm(
         unet_block_indices=tuple(unet_block_indices),
         unet_block_indices_type=unet_block_indices_type,
         head_channels=head_channels,
+        head_fusion=head_fusion,
+        final_fuse_vae_decoder_feat=final_fuse_vae_decoder_feat,
+        concat_attention_to_conv_seg=concat_attention_to_conv_seg,
         same_cond_params=same_cond_params,
         vae_decoder_loss=vae_decoder_loss,
         train_palette=tuple(train_palette),

@@ -15,7 +15,7 @@ cross-device sync, which matches that semantics under data parallelism.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -107,6 +107,86 @@ class ASPPWrapper(nn.Module):
         return wrap(ConvModule)(self.channels, 3, dtype=self.dtype, name="bottleneck")(x, train)
 
 
+class SelfAttentionBlock(nn.Module):
+    """mmseg ISA self-attention block (reference ``daformer_head.py:35-245``):
+    key/query via stacked 1x1 ConvModules (conv+BN+ReLU), value via a plain
+    1x1 conv to ``in_channels``, scaled softmax, then an output ConvModule."""
+
+    channels: int  # key/query transform width
+    key_query_num_convs: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        b, h, w, c = x.shape
+
+        def project(inp, name, n):
+            y = inp
+            for i in range(n):
+                y = ConvModule(self.channels, 1, dtype=self.dtype,
+                               name=f"{name}_{i}")(y, train)
+            return y
+
+        q = project(x, "query_project", self.key_query_num_convs)
+        k = project(x, "key_project", self.key_query_num_convs)
+        v = nn.Conv(c, (1, 1), dtype=self.dtype, name="value_project")(x)
+        q = q.reshape(b, h * w, self.channels)
+        k = k.reshape(b, h * w, self.channels)
+        v = v.reshape(b, h * w, c)
+        sim = jnp.einsum("bqc,bkc->bqk", q, k,
+                         preferred_element_type=jnp.float32)
+        sim = jax.nn.softmax(sim * self.channels ** -0.5, axis=-1).astype(x.dtype)
+        ctx = jnp.einsum("bqk,bkc->bqc", sim, v).reshape(b, h, w, c)
+        return ConvModule(c, 1, dtype=self.dtype, name="output_project")(ctx, train)
+
+
+class ISALayer(nn.Module):
+    """Interlaced sparse self-attention (reference ``daformer_head.py:246-338``):
+    in-conv, attention over the global grid within each local offset, then
+    attention within each local window, with centered padding."""
+
+    channels: int
+    isa_channels: int = 128
+    down_factor: Tuple[int, int] = (8, 8)
+    key_query_num_convs: int = 2
+    in_conv_kernel_size: Optional[int] = 1
+    out_cat_and_conv: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        if self.in_conv_kernel_size is not None:
+            x = ConvModule(self.channels, self.in_conv_kernel_size,
+                           dtype=self.dtype, name="in_conv")(x, train)
+        residual = x
+        n, h, w, c = x.shape
+        lh, lw = self.down_factor
+        gh, gw = -(-h // lh), -(-w // lw)
+        ph, pw = gh * lh - h, gw * lw - w
+        if ph or pw:
+            x = jnp.pad(x, ((0, 0), (ph // 2, ph - ph // 2),
+                            (pw // 2, pw - pw // 2), (0, 0)))
+        # global relation: attend across the (gh, gw) grid per local offset
+        x = x.reshape(n, gh, lh, gw, lw, c)
+        x = x.transpose(0, 2, 4, 1, 3, 5).reshape(n * lh * lw, gh, gw, c)
+        x = SelfAttentionBlock(self.isa_channels, self.key_query_num_convs,
+                               dtype=self.dtype, name="global_relation")(x, train)
+        # local relation: attend within each (lh, lw) window
+        x = x.reshape(n, lh, lw, gh, gw, c)
+        x = x.transpose(0, 3, 4, 1, 2, 5).reshape(n * gh * gw, lh, lw, c)
+        x = SelfAttentionBlock(self.isa_channels, self.key_query_num_convs,
+                               dtype=self.dtype, name="local_relation")(x, train)
+        x = x.reshape(n, gh, gw, lh, lw, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(n, gh * lh, gw * lw, c)
+        if ph or pw:
+            x = x[:, ph // 2 : ph // 2 + h, pw // 2 : pw // 2 + w]
+        if self.out_cat_and_conv:
+            x = ConvModule(self.channels, 1, dtype=self.dtype, name="out_conv")(
+                jnp.concatenate([x, residual], axis=-1), train
+            )
+        return x
+
+
 class DAFormerHead(nn.Module):
     """DAFormer decode head; logits at the resolution of the largest input.
 
@@ -123,6 +203,18 @@ class DAFormerHead(nn.Module):
     dropout_ratio: float = 0.1
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    # fusion layer choice (reference ``build_layer``, daformer_head.py:608-643;
+    # shipped configs use 'aspp')
+    fusion: str = "aspp"
+    fusion_kernel_size: int = 3  # for 'conv'/'sep_conv'
+    isa_channels: int = 128  # for 'isa'
+    # fuse the raw s0 decoder feature into conv_seg at full res via a
+    # GN-bottleneck projection (daformer_head.py:73-88,677-698; the head
+    # then fuses at half the s0 resolution)
+    final_fuse_vae_decoder_feat: bool = False
+    # concat an externally-computed attention map to the conv_seg input
+    # (daformer_head.py:71-72,682-687)
+    concat_attention_to_conv_seg: bool = False
 
     @nn.compact
     def __call__(
@@ -131,22 +223,54 @@ class DAFormerHead(nn.Module):
         train: bool = False,
         dropout_rng: Optional[jax.Array] = None,
         return_pre_seg: bool = False,
+        cross_attention_feat: Optional[jax.Array] = None,
     ) -> jax.Array:
         xs = [features[k] for k in self.in_keys]
+        vae_decoder_feat = None
+        if self.final_fuse_vae_decoder_feat:
+            vae_decoder_feat = xs[0]
+            h0, w0 = xs[0].shape[1:3]
+            xs[0] = resize_bilinear(xs[0], (h0 // 2, w0 // 2))  # 512 -> 256
         os_size = xs[0].shape[1:3]
         embeds = []
         for i, x in enumerate(xs):
             e = nn.Dense(self.embed_dims, dtype=self.dtype, name=f"embed_{i}")(x)
             embeds.append(resize_bilinear(e, os_size))
         x = jnp.concatenate(embeds, axis=-1)
-        x = ASPPWrapper(self.channels, self.dilations, dtype=self.dtype,
-                        remat=self.remat, name="fuse_layer")(x, train)
+        if self.fusion == "aspp":
+            x = ASPPWrapper(self.channels, self.dilations, dtype=self.dtype,
+                            remat=self.remat, name="fuse_layer")(x, train)
+        elif self.fusion == "isa":
+            x = ISALayer(self.channels, self.isa_channels, dtype=self.dtype,
+                         name="fuse_layer")(x, train)
+        elif self.fusion == "sep_conv":
+            x = DepthwiseSeparableConvModule(
+                self.channels, 1, dtype=self.dtype, name="fuse_layer",
+            )(x, train)
+        elif self.fusion == "conv":
+            x = ConvModule(self.channels, self.fusion_kernel_size,
+                           dtype=self.dtype, name="fuse_layer")(x, train)
+        else:
+            raise NotImplementedError(self.fusion)
         if train and self.dropout_ratio > 0 and self.has_rng("dropout"):
             # Dropout2d: drop whole channels (torch nn.Dropout2d semantics)
             x = nn.Dropout(
                 self.dropout_ratio, broadcast_dims=(1, 2), deterministic=False,
                 rng_collection="dropout", name="dropout",
             )(x)
+        if cross_attention_feat is not None:
+            assert self.concat_attention_to_conv_seg
+            att = resize_bilinear(cross_attention_feat, x.shape[1:3])
+            x = jnp.concatenate([x, att.astype(x.dtype)], axis=-1)
+        elif vae_decoder_feat is not None:
+            # full-res fuse: upsample the fused features back to the s0
+            # resolution and concat the projected raw decoder feature
+            from .projections import BottleneckBlock
+
+            x = resize_bilinear(x, vae_decoder_feat.shape[1:3])
+            proj = BottleneckBlock(32, 64, dtype=self.dtype,
+                                   name="vae_decoder_feat_proj")(vae_decoder_feat)
+            x = jnp.concatenate([x, proj], axis=-1)
         if return_pre_seg:
             # eval fast path: the caller fuses conv_seg+argmax in Pallas so
             # the lane-padded [.., num_classes] logits never reach HBM

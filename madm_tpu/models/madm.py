@@ -57,6 +57,11 @@ class MADMConfig:
     projection_dim: Tuple[int, ...] = (128, 512, 512, 512)
     in_keys: Tuple[str, ...] = ("s0", "s3", "s4", "s5")
     head_channels: int = 256
+    # head variants (reference daformer_head.py:52-88,608-643; shipped
+    # configs use the plain 'aspp' head)
+    head_fusion: str = "aspp"
+    final_fuse_vae_decoder_feat: bool = False
+    concat_attention_to_conv_seg: bool = False
     # conditioning
     same_cond_params: bool = True
     # which UNet params train: 'all' | 'no' | 'attention' |
@@ -201,6 +206,9 @@ class MADM:
             channels=config.head_channels,
             dtype=dt,
             remat=config.remat,
+            fusion=config.head_fusion,
+            final_fuse_vae_decoder_feat=config.final_fuse_vae_decoder_feat,
+            concat_attention_to_conv_seg=config.concat_attention_to_conv_seg,
         )
         self.lora_specs = parse_lora_configs(config.lora_configs)
 
@@ -629,7 +637,10 @@ class MADM:
             return "none"
         cfg = self.cfg
         shapes_ok = (
-            len(cfg.in_keys) == 4
+            self.head.fusion == "aspp"
+            and not self.head.final_fuse_vae_decoder_feat
+            and not self.head.concat_attention_to_conv_seg
+            and len(cfg.in_keys) == 4
             and cfg.in_keys[0] == "s0"
             and image_shape[1] % 16 == 0
             and image_shape[2] % 128 == 0

@@ -93,6 +93,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="FDA amplitude-removal range for source images "
                         "(dataset-side, cross_modality_dataset.py:112-126)")
     p.add_argument("--slide_training", action="store_true")
+    p.add_argument("--final_fuse_vae_decoder_feat", action="store_true")
+    # reference spelling kept ("corss"), main.py:758
+    p.add_argument("--concat_corss_attention_feat_to_conv_seg",
+                   dest="concat_attention_to_conv_seg", action="store_true")
     p.add_argument("--num_chips", type=int, default=None,
                    help="limit the mesh to the first N local devices")
     p.add_argument("--distributed", action="store_true",
@@ -198,6 +202,10 @@ def apply_cli_mutations(cfg, args):
         cfg.dataloader.train.dataset.remove_amp = list(args.remove_amp)
     if args.slide_training:
         cfg.model.slide_training = True
+    if args.final_fuse_vae_decoder_feat:
+        cfg.model.final_fuse_vae_decoder_feat = True
+    if args.concat_attention_to_conv_seg:
+        cfg.model.concat_attention_to_conv_seg = True
     if args.tag:
         cfg.train.run_tag = args.tag
     out = args.output or os.path.join(
