@@ -80,6 +80,7 @@ class CrossModalityDataset:
         seed: Optional[int] = None,
         remove_amp: Optional[Sequence[float]] = None,
         fda_fusion_val: Optional[Sequence[float]] = None,
+        remove_texture: bool = False,
         **kwargs,
     ):
         assert train_or_test in {"train", "test"}
@@ -106,6 +107,11 @@ class CrossModalityDataset:
         self.fda_fusion_val = (
             list(fda_fusion_val) if fda_fusion_val is not None else None
         )
+        # edge-texture ablation (reference :206-207,465-470): the target
+        # image's local-region edge map rides along as
+        # 'target_second_modality_pha'
+        self.remove_texture = remove_texture
+        assert not (self.remove_amp and self.remove_texture)
 
         # DELIVER label ids are stored +1 with channelled PNGs (ref :184-188)
         self.deliver_label_process = (
@@ -271,10 +277,19 @@ class CrossModalityDataset:
                 if self.fda_fusion_val is not None:
                     f = self.fda_fusion_val
                     fusion = self.rng.uniform(f[0], f[1]) if len(f) == 2 else f[0]
+                pha = remove_array_amp(src["rgb"].transpose(2, 0, 1), L, fusion)
+                tgt_pha = remove_array_amp(tgt.transpose(2, 0, 1), L, fusion)
+                # mean-shift the source pha toward the target pha and clip
+                # (reference :455-462)
+                pha = np.clip(pha + (tgt_pha.mean() - pha.mean()), 0, 255)
                 out["source_rgb_pha"] = np.ascontiguousarray(
-                    remove_array_amp(
-                        src["rgb"].transpose(2, 0, 1), L, fusion
-                    ).transpose(1, 2, 0)
+                    pha.transpose(1, 2, 0)
+                ).astype(np.float32)
+            if self.remove_texture:
+                from ..ops.fda import extract_edge_info_local
+
+                out["target_second_modality_pha"] = np.ascontiguousarray(
+                    extract_edge_info_local(tgt.transpose(2, 0, 1)).transpose(1, 2, 0)
                 ).astype(np.float32)
             return out
 

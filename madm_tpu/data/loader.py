@@ -69,6 +69,10 @@ class TrainLoader:
             }
             if "source_rgb_pha" in samples[0]:  # FDA remove_amp ablation
                 batch["source_rgb_pha"] = _stack(samples, "source_rgb_pha") / 255.0
+            if "target_second_modality_pha" in samples[0]:  # remove_texture
+                batch["target_second_modality_pha"] = (
+                    _stack(samples, "target_second_modality_pha") / 255.0
+                )
             self._q.put(batch)
 
     def __iter__(self):

@@ -40,7 +40,9 @@ _UDA_KEYS = (
     "mic_reg_wo_pl_val", "fd", "denoise_supervise", "denoise_timestep_range",
     "rev_noise_sup", "rev_noise_end_iter", "rev_noise_gradually", "noise_reg",
     "vae_decoder_loss_type", "vae_decoder_loss_weight", "reg_uncertain",
-    "pseudo_weight_scope", "eval_with_noise",
+    "pseudo_weight_scope", "eval_with_noise", "mask_prompt_ratio",
+    "detach_mask_prompt", "prompt_perturbation", "prompt_confidence",
+    "rand_prompt_scale",
 )
 
 _FIELD_NAMES = {f.name for f in dataclasses.fields(MADMConfig)}

@@ -130,6 +130,13 @@ class MADMConfig:
     # at local batch 1
     pseudo_weight_scope: str = "batch"
     eval_with_noise: Optional[int] = None
+    # prompt ablations (reference ldm_base.py:893-924 / cmdise.py:179-191):
+    # extra passes with token-dropout / gaussian-perturbed / random prompts
+    mask_prompt_ratio: float = 0.0
+    detach_mask_prompt: bool = False
+    prompt_perturbation: float = 0.0
+    prompt_confidence: Optional[float] = None
+    rand_prompt_scale: float = 0.5
     # input size
     crop_size: Tuple[int, int] = (512, 512)
 
@@ -371,11 +378,15 @@ class MADM:
         input_modal: str,
         ema_forward: bool = False,
         batch_size: int = 1,
+        prompt_mode: Optional[str] = None,
+        prompt_rng: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, Optional[jax.Array]]:
         """cond prompt [B,77,768] + residual time embedding [B,1280] | None.
 
         (reference ``ldm_base.py:832-924``: rgb -> clip_project_rgb, others/
-        mixed -> clip_project_others, teacher -> ema_clip_project_others.)"""
+        mixed -> clip_project_others, teacher -> ema_clip_project_others;
+        ``prompt_mode`` applies the masked/perturbed/random prompt ablations,
+        ``ldm_base.py:893-908``.)"""
         uncond = variables["consts"]["uncond_inputs"]
         if ema_forward:
             p = variables["ema"]["clip_project_others"]
@@ -385,6 +396,18 @@ class MADM:
             )
         cp = prompt_lib.cond_prompt(p, uncond)
         ct = prompt_lib.cond_time(p)
+        if prompt_mode is not None:
+            assert prompt_rng is not None, "prompt ablations need an rng"
+            if prompt_mode == "masked_prompt" and self.cfg.mask_prompt_ratio:
+                cp = prompt_lib.mask_prompt(prompt_rng, cp, self.cfg.mask_prompt_ratio)
+                if self.cfg.detach_mask_prompt:
+                    cp = jax.lax.stop_gradient(cp)
+            elif prompt_mode == "prompt_perturbation" and self.cfg.prompt_perturbation:
+                cp = jax.lax.stop_gradient(
+                    prompt_lib.perturb_prompt(prompt_rng, cp, self.cfg.prompt_perturbation)
+                )
+            elif prompt_mode == "rand_prompt":
+                cp = prompt_lib.rand_prompt(prompt_rng, cp, self.cfg.rand_prompt_scale)
         cp = jnp.broadcast_to(cp, (batch_size,) + cp.shape[1:])
         if ct is not None:
             ct = jnp.broadcast_to(ct, (batch_size,) + ct.shape[1:])
@@ -404,6 +427,8 @@ class MADM:
         train: bool = False,
         modality_mask: Optional[jax.Array] = None,  # [B,h/8,w/8,N] mask_diff
         latent_noise_rng: Optional[jax.Array] = None,  # add_latent_noise
+        prompt_mode: Optional[str] = None,  # masked/perturbed/random prompt
+        prompt_rng: Optional[jax.Array] = None,
     ) -> Dict[str, Any]:
         """One diffusion feature pass.
 
@@ -450,7 +475,8 @@ class MADM:
             )
 
         cond_prompt, cond_time = self.conditioning(
-            variables, input_modal, ema_forward, batch_size=b
+            variables, input_modal, ema_forward, batch_size=b,
+            prompt_mode=prompt_mode, prompt_rng=prompt_rng,
         )
 
         unet_params = params["unet"]

@@ -57,9 +57,29 @@ def extract_edge_info(img_hw: np.ndarray) -> np.ndarray:
     return out
 
 
+EDGES_MIN_CLIP = 0.02
+EDGES_MAX_CLIP = 0.95
+
+
+def _edge_region(gray01: np.ndarray) -> np.ndarray:
+    """Full per-region pipeline (reference ``extract_edge_info``, :320-335):
+    difference filter, small-magnitude zeroing, quantile clamp-normalize,
+    rescale to 0..255."""
+    e = extract_edge_info(gray01)
+    e[np.abs(e) < EDGES_MIN_CLIP] = 0.0
+    pos = e[e > 0]
+    if pos.size:
+        thr = np.max(e) if EDGES_MAX_CLIP == 1 else np.quantile(pos, EDGES_MAX_CLIP)
+        e = np.clip(e, -thr, thr) / thr
+    else:
+        e[:] = 0.0
+    return (e + 1.0) * 127.5
+
+
 def extract_edge_info_local(img_chw: np.ndarray, regions: int = 10) -> np.ndarray:
-    """Per-local-region edge texture (reference ``:320-350``): mean over
-    channels, region-wise difference filtering over a regions x regions grid."""
+    """Per-local-region edge texture (reference ``:337-350``): mean over
+    channels, region-wise difference filtering + clamp-normalization over a
+    regions x regions grid, output 0..255 repeated to 3 channels."""
     c, h, w = img_chw.shape
     gray = (img_chw / 255.0).mean(axis=0)
     out = np.empty_like(gray)
@@ -69,5 +89,5 @@ def extract_edge_info_local(img_chw: np.ndarray, regions: int = 10) -> np.ndarra
         y0, y1 = round(yi * hs), round((yi + 1) * hs)
         for xi in range(regions):
             x0, x1 = round(xi * ws), round((xi + 1) * ws)
-            out[y0:y1, x0:x1] = extract_edge_info(gray[y0:y1, x0:x1])
+            out[y0:y1, x0:x1] = _edge_region(gray[y0:y1, x0:x1])
     return np.repeat(out[None], 3, axis=0)

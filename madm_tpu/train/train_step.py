@@ -90,6 +90,16 @@ class TrainConfig:
     # a working loss.  0 = off (matching the shipped configs AND the
     # reference's effective behavior)
     noise_reg: float = 0.0
+    # prompt ablations (cmdise.py:179-191,504-515,555-605): an extra student
+    # pass with a token-masked or gaussian-perturbed prompt feeds the same
+    # masked-consistency loss slot as MIC (mutually exclusive in the
+    # reference); prompt_confidence scales the pseudo-weight by teacher
+    # agreement with a random-prompt pass
+    mask_prompt_ratio: float = 0.0
+    detach_mask_prompt: bool = False
+    prompt_perturbation: float = 0.0
+    prompt_confidence: Optional[float] = None
+    rand_prompt_scale: float = 0.5
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -180,6 +190,11 @@ def build_train_config(cfg, mcfg: MADMConfig) -> TrainConfig:
         fd=float(knob("fd")),
         noise_reg=float(knob("noise_reg") or 0.0),
         pseudo_weight_scope=knob("pseudo_weight_scope"),
+        mask_prompt_ratio=float(knob("mask_prompt_ratio") or 0.0),
+        detach_mask_prompt=knob("detach_mask_prompt"),
+        prompt_perturbation=float(knob("prompt_perturbation") or 0.0),
+        prompt_confidence=knob("prompt_confidence"),
+        rand_prompt_scale=knob("rand_prompt_scale"),
     )
 
 
@@ -190,6 +205,10 @@ def make_train_step(model: MADM, tc: TrainConfig, tx):
             'target_second_modality': [B,H,W,3] 0..1}
     """
     mcfg = model.cfg
+    # the reference allows at most one of {masked_prompt, perturbation, MIC}
+    # (cmdise.py:184)
+    assert (bool(tc.mask_prompt_ratio) + bool(tc.prompt_perturbation)
+            + bool(tc.mic)) <= 1, "mask_prompt/prompt_perturbation/mic are exclusive"
     if mcfg.slide_training and (
         tc.vae_decoder_loss or tc.mic_reg or tc.denoise_supervise
         or tc.noise_reg or tc.reg_uncertain
@@ -232,7 +251,8 @@ def make_train_step(model: MADM, tc: TrainConfig, tx):
     def step_fn(ts: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
         step = ts.step
         (k_mask, k_jitter, k_revt, k_drop1, k_drop2, k_drop3, k_micjit,
-         k_micmask, k_micdrop, k_dst, k_nrjit, k_nrt, k_aln) = jax.random.split(rng, 13)
+         k_micmask, k_micdrop, k_dst, k_nrjit, k_nrt, k_aln,
+         k_pm, k_rp) = jax.random.split(rng, 15)
 
         # ---------------- EMA teacher update (cmdise.py:337-349) ----------
         alpha = ema_alpha(step.astype(jnp.float32), tc.ema_alpha)
@@ -291,6 +311,23 @@ def make_train_step(model: MADM, tc: TrainConfig, tx):
             pseudo_weight = jnp.broadcast_to(
                 pseudo_val[:, None, None], pseudo_prob.shape
             )
+        if tc.prompt_confidence is not None:
+            # scale the pseudo weight by the teacher's agreement with a
+            # random-prompt teacher pass (cmdise.py:504-515)
+            rp_out = backbone(
+                base_vars, target, input_modal="others", lora_name=tgt_lora,
+                ema_forward=True, prompt_mode="rand_prompt", prompt_rng=k_rp,
+                modality_mask=model.modality_mask(target, modality),
+            )
+            rp_logits = model.head_forward(
+                base_vars, rp_out["output_features"], ema_forward=True
+            )
+            rp_logits = criterion._resize_logits(
+                rp_logits.astype(jnp.float32), target.shape[1:3]
+            )
+            rp_label = jnp.argmax(rp_logits, axis=-1)
+            consistent = (pseudo_label == rp_label).mean()
+            pseudo_weight = pseudo_weight * consistent
         if tc.pl_crop:
             pseudo_weight = pseudo_weight.at[:, : tc.psweight_ignore_top, :].set(0.0)
 
@@ -427,6 +464,36 @@ def make_train_step(model: MADM, tc: TrainConfig, tx):
                         1.0 if tc.mic_reg_wo_pl_val else pv,
                         tc.vae_decoder_loss_type, tc.mic_reg,
                     )
+            if tc.mask_prompt_ratio:
+                mp_out = backbone(
+                    var1, target, input_modal="others", lora_name=tgt_lora,
+                    train=True, prompt_mode="masked_prompt", prompt_rng=k_pm,
+                    modality_mask=model.modality_mask(target, modality),
+                )
+                mp_logits = model.head_forward(
+                    var1, mp_out["output_features"], train=True,
+                    dropout_rng=k_micdrop, use_sec_modal=True,
+                )
+                losses["masked_prompt_consistency_loss"] = criterion.cross_entropy(
+                    mp_logits, pseudo_label, pixel_weight=pseudo_weight
+                )
+            elif tc.prompt_perturbation:
+                # the reference runs the backbone under no_grad for this
+                # pass (ldm_base.py:920-924); only the head trains
+                pp_out = backbone(
+                    var1, target, input_modal="others", lora_name=tgt_lora,
+                    train=True, prompt_mode="prompt_perturbation",
+                    prompt_rng=k_pm,
+                    modality_mask=model.modality_mask(target, modality),
+                )
+                pp_feats = jax.lax.stop_gradient(pp_out["output_features"])
+                pp_logits = model.head_forward(
+                    var1, pp_feats, train=True, dropout_rng=k_micdrop,
+                    use_sec_modal=True,
+                )
+                losses["masked_prompt_consistency_loss"] = criterion.cross_entropy(
+                    pp_logits, pseudo_label, pixel_weight=pseudo_weight
+                )
             if tc.denoise_supervise:
                 lo, hi = tc.denoise_timestep_range
                 t_ds = jax.random.randint(k_dst, (b,), lo, hi + 1)

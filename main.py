@@ -89,11 +89,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vae_decoder_loss_weight", type=float, nargs="+", default=None)
     p.add_argument("--finetune_without_cross_attention", action="store_true")
     p.add_argument("--finetune_no", action="store_true")
+    p.add_argument("--remove_texture", action="store_true",
+                   help="edge-texture dataset ablation (dataset-side)")
     p.add_argument("--remove_amp", type=float, nargs="+", default=None,
                    help="FDA amplitude-removal range for source images "
                         "(dataset-side, cross_modality_dataset.py:112-126)")
     p.add_argument("--slide_training", action="store_true")
     p.add_argument("--final_fuse_vae_decoder_feat", action="store_true")
+    p.add_argument("--mask_prompt_ratio", type=float, default=None)
+    p.add_argument("--detach_mask_prompt", action="store_true")
+    p.add_argument("--prompt_perturbation", type=float, default=None)
+    p.add_argument("--prompt_confidence", type=float, default=None)
+    p.add_argument("--rand_prompt_scale", type=float, default=None)
     # reference spelling kept ("corss"), main.py:758
     p.add_argument("--concat_corss_attention_feat_to_conv_seg",
                    dest="concat_attention_to_conv_seg", action="store_true")
@@ -200,10 +207,22 @@ def apply_cli_mutations(cfg, args):
         cfg.model.finetune_unet = "no"
     if args.remove_amp is not None:
         cfg.dataloader.train.dataset.remove_amp = list(args.remove_amp)
+    if args.remove_texture:
+        cfg.dataloader.train.dataset.remove_texture = True
     if args.slide_training:
         cfg.model.slide_training = True
     if args.final_fuse_vae_decoder_feat:
         cfg.model.final_fuse_vae_decoder_feat = True
+    if args.mask_prompt_ratio is not None:
+        cfg.model.mask_prompt_ratio = args.mask_prompt_ratio
+    if args.detach_mask_prompt:
+        cfg.model.detach_mask_prompt = True
+    if args.prompt_perturbation is not None:
+        cfg.model.prompt_perturbation = args.prompt_perturbation
+    if args.prompt_confidence is not None:
+        cfg.model.prompt_confidence = args.prompt_confidence
+    if args.rand_prompt_scale is not None:
+        cfg.model.rand_prompt_scale = args.rand_prompt_scale
     if args.concat_attention_to_conv_seg:
         cfg.model.concat_attention_to_conv_seg = True
     if args.tag:

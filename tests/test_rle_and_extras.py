@@ -82,3 +82,40 @@ def test_label_smooth_ce():
     # torch scatter_ semantics: target class SET to 0.9 (not added), others
     # 0.02 -> targets sum to 0.98; uniform logits: loss = 0.98 * log(5)
     np.testing.assert_allclose(float(loss), 0.98 * np.log(5), rtol=1e-5)
+
+
+def test_dataset_remove_texture_and_remove_amp(tmp_path):
+    """FDA/edge dataset ablations emit the extra *_pha tensors
+    (reference cross_modality_dataset.py:195-207,455-470)."""
+    import json
+
+    from PIL import Image
+
+    from madm_tpu.data import CrossModalityDataset
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+    lbl = rng.integers(0, 5, (40, 40), dtype=np.uint8)
+    Image.fromarray(img).save(tmp_path / "img.png")
+    Image.fromarray(lbl).save(tmp_path / "lbl.png")
+    manifest = {
+        "source_data": {"RGB": ["img.png"], "label": ["lbl.png"]},
+        "target_data": {"second_modality": ["img.png"]},
+    }
+    (tmp_path / "m.json").write_text(json.dumps(manifest))
+    kw = dict(
+        json_path=str(tmp_path / "m.json"),
+        source_root_path=str(tmp_path), target_root_path=str(tmp_path),
+        source_resize_h_w=[32, 32], source_crop_size_h_w=[16, 16],
+        target_resize_h_w=[32, 32], target_crop_size_h_w=[16, 16],
+        seed=0,
+    )
+    s = CrossModalityDataset(remove_texture=True, **kw)[0]
+    pha = s["target_second_modality_pha"]
+    assert pha.shape == (16, 16, 3)
+    assert 0 <= pha.min() and pha.max() <= 255
+
+    s2 = CrossModalityDataset(remove_amp=[0.01, 0.05], **kw)[0]
+    pha2 = s2["source_rgb_pha"]
+    assert pha2.shape == (16, 16, 3)
+    assert 0 <= pha2.min() and pha2.max() <= 255

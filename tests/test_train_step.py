@@ -122,3 +122,39 @@ def test_grad_clip_bounds_grad_norm(setup):
         - np.asarray(state.params["head"]["conv_seg"]["kernel"])
     ).max()
     assert delta < 1e-4  # lr 5e-6 with adam normalization
+
+
+def test_prompt_ablation_options(setup):
+    """masked-prompt consistency + prompt_confidence pseudo-weight scaling
+    (reference cmdise.py:179-191,504-515,555-605)."""
+    model, state, _, _ = setup
+    import dataclasses
+
+    from madm_tpu.models.madm import MADM
+
+    model2 = MADM(dataclasses.replace(
+        model.cfg, mask_prompt_ratio=0.5, detach_mask_prompt=True,
+        prompt_confidence=0.5,
+    ))
+    tc = TrainConfig(
+        max_iter=10, rev_noise_end_iter=5,
+        mask_prompt_ratio=0.5, detach_mask_prompt=True, prompt_confidence=0.5,
+    )
+    trainable, _ = split_trainable({"params": state.params})
+    tx = make_optimizer(trainable, max_iter=10)
+    step_fn = jax.jit(make_train_step(model2, tc, tx))
+    batch = {
+        "source_rgb": jax.random.uniform(jax.random.PRNGKey(11), (1, 64, 64, 3)),
+        "source_label": jax.random.randint(jax.random.PRNGKey(12), (1, 64, 64), 0, 11),
+        "target_second_modality": jax.random.uniform(jax.random.PRNGKey(13), (1, 64, 64, 3)),
+    }
+    _, metrics = step_fn(state, batch, jax.random.PRNGKey(44))
+    assert "masked_prompt_consistency_loss" in metrics
+    for v in metrics.values():
+        assert np.isfinite(float(v))
+
+
+def test_mask_prompt_and_mic_mutually_exclusive(setup):
+    model, state, _, _ = setup
+    with pytest.raises(AssertionError, match="exclusive"):
+        make_train_step(model, TrainConfig(mic=True, mask_prompt_ratio=0.5), None)
