@@ -42,7 +42,8 @@ _UDA_KEYS = (
     "vae_decoder_loss_type", "vae_decoder_loss_weight", "reg_uncertain",
     "pseudo_weight_scope", "eval_with_noise", "mask_prompt_ratio",
     "detach_mask_prompt", "prompt_perturbation", "prompt_confidence",
-    "rand_prompt_scale",
+    "rand_prompt_scale", "without_prompt", "without_prompt_alpha",
+    "prompt_seq_len", "init_uncond_prompt", "denoise_interval",
 )
 
 _FIELD_NAMES = {f.name for f in dataclasses.fields(MADMConfig)}

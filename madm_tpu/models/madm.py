@@ -137,6 +137,15 @@ class MADMConfig:
     prompt_perturbation: float = 0.0
     prompt_confidence: Optional[float] = None
     rand_prompt_scale: float = 0.5
+    # prompt structure ablations (main.py:466-468,597-598,507-508):
+    # without_prompt drops the learnable prompt AND time embed; the others
+    # reshape/seed the learnable prompt
+    without_prompt: bool = False
+    without_prompt_alpha: bool = False
+    prompt_seq_len: Optional[int] = None
+    init_uncond_prompt: bool = False
+    # denoise_supervise student-timestep shift (cmdise.py:584)
+    denoise_interval: int = 0
     # input size
     crop_size: Tuple[int, int] = (512, 512)
 
@@ -290,6 +299,10 @@ class MADM:
             keys[5],
             same_cond_params=self.cfg.same_cond_params,
             time_embed_dim=self.unet.block_out_channels[0] * 4,
+            learnable_cond_prompt=not self.cfg.without_prompt,
+            learnable_cond_time=not self.cfg.without_prompt,
+            without_prompt_alpha=self.cfg.without_prompt_alpha,
+            seq_len=self.cfg.prompt_seq_len or prompt_lib.PROMPT_SEQ_LEN,
         )
         lora = {
             name: init_lora(unet, spec["rank"], spec["alpha"], rng=keys[6])

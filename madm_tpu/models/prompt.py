@@ -45,6 +45,7 @@ def init_clip_feature_project(
     without_prompt_alpha: bool = False,
     num_timesteps: int = 1,
     time_embed_dim: int = TIME_EMBED_DIM,
+    seq_len: int = PROMPT_SEQ_LEN,
 ) -> Dict[str, Any]:
     """Initialize one ``ClipFeatureProject`` parameter set.
 
@@ -55,10 +56,10 @@ def init_clip_feature_project(
     r1, r2, r3, r4 = jax.random.split(rng, 4)
     p: Dict[str, Any] = {}
     if learnable_cond_prompt:
-        p["prompt_embed"] = _trunc_normal(r1, (1, PROMPT_SEQ_LEN, PROMPT_DIM))
+        p["prompt_embed"] = _trunc_normal(r1, (1, seq_len, PROMPT_DIM))
         if not without_prompt_alpha:
-            p["alpha_cond_prompt"] = jax.random.uniform(r3, (1, PROMPT_SEQ_LEN, PROMPT_DIM))
-            p["alpha_uncond_prompt"] = jax.random.uniform(r4, (1, PROMPT_SEQ_LEN, PROMPT_DIM))
+            p["alpha_cond_prompt"] = jax.random.uniform(r3, (1, seq_len, PROMPT_DIM))
+            p["alpha_uncond_prompt"] = jax.random.uniform(r4, (1, seq_len, PROMPT_DIM))
     if learnable_cond_time:
         p["time_embed"] = _trunc_normal(r2, (1, num_timesteps, time_embed_dim))
         p["alpha_cond_time"] = jnp.zeros((time_embed_dim,), jnp.float32)
@@ -70,6 +71,14 @@ def cond_prompt(params: Dict[str, Any], uncond_prompt: jax.Array) -> jax.Array:
     if "prompt_embed" not in params:
         return uncond_prompt
     if "alpha_cond_prompt" in params:
+        if uncond_prompt.shape[1] != params["alpha_cond_prompt"].shape[1]:
+            # prompt_seq_len != 77: bilinear-resize the uncond embedding
+            # (reference get_cond_prompt, ldm_base.py:678-680)
+            uncond_prompt = jax.image.resize(
+                uncond_prompt,
+                (uncond_prompt.shape[0],) + params["alpha_cond_prompt"].shape[1:],
+                method="bilinear",
+            )
         return (
             jnp.tanh(params["alpha_uncond_prompt"]) * uncond_prompt
             + jnp.tanh(params["alpha_cond_prompt"]) * params["prompt_embed"]

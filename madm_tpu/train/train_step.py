@@ -100,6 +100,8 @@ class TrainConfig:
     prompt_perturbation: float = 0.0
     prompt_confidence: Optional[float] = None
     rand_prompt_scale: float = 0.5
+    # student-timestep shift for denoise_supervise (cmdise.py:584)
+    denoise_interval: int = 0
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -195,6 +197,7 @@ def build_train_config(cfg, mcfg: MADMConfig) -> TrainConfig:
         prompt_perturbation=float(knob("prompt_perturbation") or 0.0),
         prompt_confidence=knob("prompt_confidence"),
         rand_prompt_scale=knob("rand_prompt_scale"),
+        denoise_interval=int(knob("denoise_interval") or 0),
     )
 
 
@@ -496,7 +499,7 @@ def make_train_step(model: MADM, tc: TrainConfig, tx):
                 )
             if tc.denoise_supervise:
                 lo, hi = tc.denoise_timestep_range
-                t_ds = jax.random.randint(k_dst, (b,), lo, hi + 1)
+                t_ds = jax.random.randint(k_dst, (b,), lo, hi + 1) + tc.denoise_interval
                 ds_out = backbone(
                     var1, target, input_modal="others", lora_name=tgt_lora,
                     timesteps=t_ds, train=True,

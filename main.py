@@ -101,6 +101,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--prompt_perturbation", type=float, default=None)
     p.add_argument("--prompt_confidence", type=float, default=None)
     p.add_argument("--rand_prompt_scale", type=float, default=None)
+    p.add_argument("--without_prompt", action="store_true")
+    p.add_argument("--without_prompt_alpha", action="store_true")
+    p.add_argument("--prompt_seq_len", type=int, default=None)
+    p.add_argument("--init_uncond_prompt", action="store_true")
+    p.add_argument("--denoise_interval", type=int, default=None)
     # reference spelling kept ("corss"), main.py:758
     p.add_argument("--concat_corss_attention_feat_to_conv_seg",
                    dest="concat_attention_to_conv_seg", action="store_true")
@@ -223,6 +228,16 @@ def apply_cli_mutations(cfg, args):
         cfg.model.prompt_confidence = args.prompt_confidence
     if args.rand_prompt_scale is not None:
         cfg.model.rand_prompt_scale = args.rand_prompt_scale
+    if args.without_prompt:
+        cfg.model.without_prompt = True
+    if args.without_prompt_alpha:
+        cfg.model.without_prompt_alpha = True
+    if args.prompt_seq_len is not None:
+        cfg.model.prompt_seq_len = args.prompt_seq_len
+    if args.init_uncond_prompt:
+        cfg.model.init_uncond_prompt = True
+    if args.denoise_interval is not None:
+        cfg.model.denoise_interval = args.denoise_interval
     if args.concat_attention_to_conv_seg:
         cfg.model.concat_attention_to_conv_seg = True
     if args.tag:
@@ -310,6 +325,18 @@ def build_model_and_state(cfg, args):
             from madm_tpu.models.clip_text import compute_uncond_inputs
 
             variables["consts"]["uncond_inputs"] = compute_uncond_inputs(clip_text)
+            if model.cfg.init_uncond_prompt:
+                # seed the learnable prompt from the (resized) uncond
+                # embedding (reference ldm_base.py:648-650)
+                import jax.numpy as jnp
+
+                uncond = variables["consts"]["uncond_inputs"]
+                for key, tree in variables["params"]["prompt"].items():
+                    if "prompt_embed" in tree:
+                        tgt = tree["prompt_embed"].shape
+                        pe = uncond if uncond.shape == tgt else jax.image.resize(
+                            uncond, tgt, method="bilinear")
+                        tree["prompt_embed"] = pe.astype(tree["prompt_embed"].dtype)
 
     trainable, _ = split_trainable(variables, model.cfg.finetune_unet)
     opt = cfg.optimizer

@@ -97,3 +97,38 @@ def test_eval_forward_ids_falls_back_on_cpu():
     ids = jax.jit(model.eval_forward_ids)(variables, img)
     ref = jnp.argmax(jax.jit(model.eval_forward)(variables, img), axis=-1)
     np.testing.assert_array_equal(np.asarray(ids), np.asarray(ref).astype(np.int32))
+
+
+def test_prompt_structure_knobs_and_single_scale_graph():
+    """without_prompt / prompt_seq_len build + eval; the single-scale
+    feature graph (reference --single_scale_decoder) is expressible with
+    plain config overrides."""
+    from madm_tpu.models.madm import MADM, MADMConfig
+
+    base = dict(num_classes=5, crop_size=(64, 64),
+                unet_channels=(32, 64, 128, 128), vae_channels=(32, 32, 64, 64),
+                compute_dtype=jnp.float32)
+
+    m = MADM(MADMConfig(**base, feature_dims=(3, 32, 64, 128),
+                        projection_dim=(32, 32, 32, 32), without_prompt=True))
+    v = m.init_params(jax.random.PRNGKey(0))
+    assert "prompt_embed" not in v["params"]["prompt"]["clip_project_rgb"]
+    ids = jax.jit(m.eval_forward_ids)(
+        v, jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3)))
+    assert ids.shape == (1, 64, 64)
+
+    m2 = MADM(MADMConfig(**base, feature_dims=(3, 32, 64, 128),
+                         projection_dim=(32, 32, 32, 32), prompt_seq_len=40))
+    v2 = m2.init_params(jax.random.PRNGKey(0))
+    assert v2["params"]["prompt"]["clip_project_rgb"]["prompt_embed"].shape[1] == 40
+    ids2 = jax.jit(m2.eval_forward_ids)(
+        v2, jax.random.uniform(jax.random.PRNGKey(2), (1, 64, 64, 3)))
+    assert ids2.shape == (1, 64, 64)
+
+    m3 = MADM(MADMConfig(**base, out_features=("s3",), feature_dims=(32,),
+                         projection_dim=(32,), in_keys=("s3",),
+                         unet_block_indices=(11,), vae_decoder_loss=""))
+    v3 = m3.init_params(jax.random.PRNGKey(0))
+    ids3 = jax.jit(m3.eval_forward_ids)(
+        v3, jax.random.uniform(jax.random.PRNGKey(3), (1, 64, 64, 3)))
+    assert ids3.shape == (1, 64, 64)
