@@ -81,6 +81,8 @@ class CrossModalityDataset:
         remove_amp: Optional[Sequence[float]] = None,
         fda_fusion_val: Optional[Sequence[float]] = None,
         remove_texture: bool = False,
+        pl_data_path: Optional[str] = None,
+        merge_more_target_data: Optional[str] = None,
         **kwargs,
     ):
         assert train_or_test in {"train", "test"}
@@ -112,6 +114,10 @@ class CrossModalityDataset:
         # 'target_second_modality_pha'
         self.remove_texture = remove_texture
         assert not (self.remove_amp and self.remove_texture)
+        # two-stage extras: pl_data_path points at stage-1 generated images
+        # parallel to the source labels (reference :278-284); samples gain
+        # 'source_pl_data' with the same crop/flip as the source
+        self.pl_data_path = pl_data_path
 
         # DELIVER label ids are stored +1 with channelled PNGs (ref :184-188)
         self.deliver_label_process = (
@@ -120,6 +126,15 @@ class CrossModalityDataset:
 
         with open(json_path) as f:
             self.manifest = json.load(f)
+
+        # extra unlabeled target images from a subdirectory of the target
+        # root ("like dreambooth", reference :223-228)
+        if merge_more_target_data is not None:
+            extra_dir = os.path.join(target_root_path, merge_more_target_data)
+            for name in sorted(os.listdir(extra_dir)):
+                self.manifest["target_data"]["second_modality"].append(
+                    os.path.join(merge_more_target_data, name)
+                )
 
         self.source_data_length = (
             len(self.manifest["source_data"]["RGB"]) if train_or_test == "train" else 1
@@ -225,7 +240,15 @@ class CrossModalityDataset:
         )
         rgb = self._load(rgb_path, (rw, rh), (x, y, cw, ch), flip)
         lbl = self._load(lbl_path, (rw, rh), (x, y, cw, ch), flip, is_label=True)
-        return {"rgb": rgb, "label": lbl}
+        out = {"rgb": rgb, "label": lbl}
+        if self.pl_data_path is not None:
+            rel = self.manifest["source_data"]["label"][source_idx]
+            rel = rel.split("gtFine/train/")[-1]
+            out["pl_data"] = self._load(
+                os.path.join(self.pl_data_path, rel), (rw, rh),
+                (x, y, cw, ch), flip,
+            )
+        return out
 
     def get_rare_class_sample(self):
         c = int(np.random.choice(self.rcs_classes, p=self.rcs_classprob))
@@ -285,6 +308,8 @@ class CrossModalityDataset:
                 out["source_rgb_pha"] = np.ascontiguousarray(
                     pha.transpose(1, 2, 0)
                 ).astype(np.float32)
+            if self.pl_data_path is not None:
+                out["source_pl_data"] = src["pl_data"]
             if self.remove_texture:
                 from ..ops.fda import extract_edge_info_local
 

@@ -67,6 +67,8 @@ class TrainLoader:
                 "source_label": _stack(samples, "source_label").astype(np.int32),
                 "target_second_modality": _stack(samples, "target_second_modality") / 255.0,
             }
+            if "source_pl_data" in samples[0]:  # two-stage pl data
+                batch["source_pl_data"] = _stack(samples, "source_pl_data") / 255.0
             if "source_rgb_pha" in samples[0]:  # FDA remove_amp ablation
                 batch["source_rgb_pha"] = _stack(samples, "source_rgb_pha") / 255.0
             if "target_second_modality_pha" in samples[0]:  # remove_texture

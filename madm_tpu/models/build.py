@@ -44,6 +44,7 @@ _UDA_KEYS = (
     "detach_mask_prompt", "prompt_perturbation", "prompt_confidence",
     "rand_prompt_scale", "without_prompt", "without_prompt_alpha",
     "prompt_seq_len", "init_uncond_prompt", "denoise_interval",
+    "merge_with_pl_data", "pl_merge_val",
 )
 
 _FIELD_NAMES = {f.name for f in dataclasses.fields(MADMConfig)}
@@ -65,6 +66,7 @@ def build_madm(
     final_fuse_vae_decoder_feat: bool = False,
     concat_attention_to_conv_seg: bool = False,
     same_cond_params: bool = True,
+    clip_state: str = "no",
     vae_decoder_loss: str = "st",
     train_palette: Sequence[int] = (),
     crop_size: Sequence[int] = (512, 512),
@@ -119,6 +121,7 @@ def build_madm(
         final_fuse_vae_decoder_feat=final_fuse_vae_decoder_feat,
         concat_attention_to_conv_seg=concat_attention_to_conv_seg,
         same_cond_params=same_cond_params,
+        clip_state=clip_state,
         vae_decoder_loss=vae_decoder_loss,
         train_palette=tuple(train_palette),
         crop_size=tuple(crop_size),

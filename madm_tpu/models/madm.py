@@ -64,6 +64,11 @@ class MADMConfig:
     concat_attention_to_conv_seg: bool = False
     # conditioning
     same_cond_params: bool = True
+    # CLIP image prefix conditioning (reference --with_clip,
+    # ldm_base.py:740-760,844-853): 'no' (shipped configs) |
+    # 'no_learnable_clip' (frozen tower) | 'learnable_clip' (trainable,
+    # with an EMA copy for teacher passes)
+    clip_state: str = "no"
     # which UNet params train: 'all' | 'no' | 'attention' |
     # 'without cross-attention' (reference ldm_diffusers.py:101-121);
     # consumed by train.optimizer.split_trainable as a trainability mask
@@ -146,6 +151,9 @@ class MADMConfig:
     init_uncond_prompt: bool = False
     # denoise_supervise student-timestep shift (cmdise.py:584)
     denoise_interval: int = 0
+    # two-stage source/pl-data mixing (cmdise.py:198-210,392-408)
+    merge_with_pl_data: Optional[str] = None
+    pl_merge_val: float = 0.5
     # input size
     crop_size: Tuple[int, int] = (512, 512)
 
@@ -239,6 +247,15 @@ class MADM:
         self.pixel_tower = (
             PixelUnshuffleTower(dtype=dt) if config.concat_pixel_shuffle else None
         )
+        assert config.clip_state in ("no", "no_learnable_clip", "learnable_clip")
+        if config.clip_state != "no":
+            from .clip_image import ClipAdapter
+
+            # full ViT-L/14-336 by default; tests swap self.clip_adapter
+            # for a shrunk tower before init_params
+            self.clip_adapter = ClipAdapter(normalize=False, dtype=dt)
+        else:
+            self.clip_adapter = None
 
         # static validation: declared feature_dims must match the UNet's tap
         # channels (taps arrive smallest-res first; feature_dims is ordered
@@ -303,6 +320,10 @@ class MADM:
             learnable_cond_time=not self.cfg.without_prompt,
             without_prompt_alpha=self.cfg.without_prompt_alpha,
             seq_len=self.cfg.prompt_seq_len or prompt_lib.PROMPT_SEQ_LEN,
+            input_prefix=self.cfg.clip_state != "no",
+            in_features=(
+                self.clip_adapter.dim_latent if self.clip_adapter else 768
+            ),
         )
         lora = {
             name: init_lora(unet, spec["rank"], spec["alpha"], rng=keys[6])
@@ -323,6 +344,11 @@ class MADM:
             params["pixel_unshuffle"] = jax.jit(self.pixel_tower.init)(
                 keys[8], gray
             )["params"]
+        if self.clip_adapter is not None:
+            s_clip = self.clip_adapter.vision.image_size
+            params["clip_vision"] = jax.jit(self.clip_adapter.vision.init)(
+                keys[7], jnp.zeros((1, s_clip, s_clip, 3), jnp.float32)
+            )["params"]
         state = {"head_bn": head_bn, "ema_head_bn": jax.tree.map(jnp.copy, head_bn)}
         if self.cfg.sem_seg_head_sec_modal:
             params["head_sec"] = head_sec
@@ -340,14 +366,15 @@ class MADM:
         others_key = (
             "clip_project_rgb" if self.cfg.same_cond_params else "clip_project_others"
         )
-        return jax.tree.map(
-            jnp.copy,
-            {
-                "projections": params["projections"],
-                "head": params["head"],
-                "clip_project_others": params["prompt"][others_key],
-            },
-        )
+        tree = {
+            "projections": params["projections"],
+            "head": params["head"],
+            "clip_project_others": params["prompt"][others_key],
+        }
+        if self.cfg.clip_state == "learnable_clip":
+            # teacher passes use an EMA CLIP tower (ldm_base.py:846-848)
+            tree["clip_vision"] = params["clip_vision"]
+        return jax.tree.map(jnp.copy, tree)
 
     def _strides(self) -> Tuple[int, ...]:
         return tuple(2 ** int(name[1]) for name in self.cfg.out_features)
@@ -393,6 +420,7 @@ class MADM:
         batch_size: int = 1,
         prompt_mode: Optional[str] = None,
         prompt_rng: Optional[jax.Array] = None,
+        images: Optional[jax.Array] = None,  # [B,H,W,3] in [0,1] (clip prefix)
     ) -> Tuple[jax.Array, Optional[jax.Array]]:
         """cond prompt [B,77,768] + residual time embedding [B,1280] | None.
 
@@ -407,8 +435,21 @@ class MADM:
             p = prompt_lib.select_domain_params(
                 variables["params"]["prompt"], input_modal, self.cfg.same_cond_params
             )
-        cp = prompt_lib.cond_prompt(p, uncond)
-        ct = prompt_lib.cond_time(p)
+        prefix = None
+        if self.cfg.clip_state != "no":
+            assert images is not None, "clip_state conditioning needs images"
+            clip_params = (
+                variables["ema"]["clip_vision"]
+                if ema_forward and self.cfg.clip_state == "learnable_clip"
+                else variables["params"]["clip_vision"]
+            )
+            prefix = self.clip_adapter.vision.apply(
+                {"params": clip_params}, self.clip_adapter.preprocess(images)
+            )
+            if self.cfg.clip_state == "no_learnable_clip" or ema_forward:
+                prefix = jax.lax.stop_gradient(prefix)
+        cp = prompt_lib.cond_prompt(p, uncond, prefix)
+        ct = prompt_lib.cond_time(p, prefix)
         if prompt_mode is not None:
             assert prompt_rng is not None, "prompt ablations need an rng"
             if prompt_mode == "masked_prompt" and self.cfg.mask_prompt_ratio:
@@ -489,7 +530,7 @@ class MADM:
 
         cond_prompt, cond_time = self.conditioning(
             variables, input_modal, ema_forward, batch_size=b,
-            prompt_mode=prompt_mode, prompt_rng=prompt_rng,
+            prompt_mode=prompt_mode, prompt_rng=prompt_rng, images=images,
         )
 
         unet_params = params["unet"]

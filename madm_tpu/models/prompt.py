@@ -46,6 +46,8 @@ def init_clip_feature_project(
     num_timesteps: int = 1,
     time_embed_dim: int = TIME_EMBED_DIM,
     seq_len: int = PROMPT_SEQ_LEN,
+    input_prefix: bool = False,
+    in_features: int = 768,
 ) -> Dict[str, Any]:
     """Initialize one ``ClipFeatureProject`` parameter set.
 
@@ -56,18 +58,44 @@ def init_clip_feature_project(
     r1, r2, r3, r4 = jax.random.split(rng, 4)
     p: Dict[str, Any] = {}
     if learnable_cond_prompt:
-        p["prompt_embed"] = _trunc_normal(r1, (1, seq_len, PROMPT_DIM))
+        if input_prefix:
+            # CLIP image prefix -> PositionalLinear prompt
+            # (ldm_base.py:657,844-853, input_prefix=True)
+            p["prompt_embed_project"] = init_positional_linear(
+                r1, in_features, PROMPT_DIM, seq_len
+            )
+        else:
+            p["prompt_embed"] = _trunc_normal(r1, (1, seq_len, PROMPT_DIM))
         if not without_prompt_alpha:
             p["alpha_cond_prompt"] = jax.random.uniform(r3, (1, seq_len, PROMPT_DIM))
             p["alpha_uncond_prompt"] = jax.random.uniform(r4, (1, seq_len, PROMPT_DIM))
     if learnable_cond_time:
-        p["time_embed"] = _trunc_normal(r2, (1, num_timesteps, time_embed_dim))
+        if input_prefix:
+            p["time_embed_project"] = init_positional_linear(
+                r2, in_features, time_embed_dim, num_timesteps
+            )
+        else:
+            p["time_embed"] = _trunc_normal(r2, (1, num_timesteps, time_embed_dim))
         p["alpha_cond_time"] = jnp.zeros((time_embed_dim,), jnp.float32)
     return p
 
 
-def cond_prompt(params: Dict[str, Any], uncond_prompt: jax.Array) -> jax.Array:
-    """[1, 77, 768] conditioning prompt (reference ``ldm_base.py:675-691``)."""
+def cond_prompt(
+    params: Dict[str, Any],
+    uncond_prompt: jax.Array,
+    prefix: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Conditioning prompt (reference ``ldm_base.py:675-691``); with a CLIP
+    ``prefix`` [B, D] the learnable prompt comes from PositionalLinear."""
+    if "prompt_embed_project" in params:
+        assert prefix is not None, "clip_state prompt needs a prefix"
+        lifted = positional_linear(params["prompt_embed_project"], prefix)
+        if "alpha_cond_prompt" in params:
+            return (
+                jnp.tanh(params["alpha_uncond_prompt"]) * uncond_prompt
+                + jnp.tanh(params["alpha_cond_prompt"]) * lifted
+            )
+        return lifted
     if "prompt_embed" not in params:
         return uncond_prompt
     if "alpha_cond_prompt" in params:
@@ -86,8 +114,16 @@ def cond_prompt(params: Dict[str, Any], uncond_prompt: jax.Array) -> jax.Array:
     return params["prompt_embed"]
 
 
-def cond_time(params: Dict[str, Any]) -> Optional[jax.Array]:
-    """[1, 1, 1280] residual time embedding (reference ``ldm_base.py:703-712``)."""
+def cond_time(
+    params: Dict[str, Any], prefix: Optional[jax.Array] = None
+) -> Optional[jax.Array]:
+    """[1, 1, 1280] residual time embedding (reference ``ldm_base.py:703-712``);
+    the prefix variant detaches the CLIP embedding like the reference."""
+    if "time_embed_project" in params:
+        assert prefix is not None
+        return jnp.tanh(params["alpha_cond_time"]) * positional_linear(
+            params["time_embed_project"], jax.lax.stop_gradient(prefix)
+        )
     if "time_embed" not in params:
         return None
     return jnp.tanh(params["alpha_cond_time"]) * params["time_embed"]

@@ -24,12 +24,17 @@ def update_ema(ema_tree: Any, student_tree: Any, alpha: jax.Array) -> Any:
     )
 
 
-def student_subtree(params: Dict[str, Any], same_cond_params: bool) -> Dict[str, Any]:
+def student_subtree(params: Dict[str, Any], same_cond_params: bool,
+                    learnable_clip: bool = False) -> Dict[str, Any]:
     """The student subset matching the EMA tree layout
-    (projections / head / clip_project_others — ``cmdise.py:307-325``)."""
+    (projections / head / clip_project_others, plus the CLIP tower when it
+    trains — ``cmdise.py:307-325``, ``ldm_base.py:846-848``)."""
     others_key = "clip_project_rgb" if same_cond_params else "clip_project_others"
-    return {
+    tree = {
         "projections": params["projections"],
         "head": params["head"],
         "clip_project_others": params["prompt"][others_key],
     }
+    if learnable_clip and "clip_vision" in params:
+        tree["clip_vision"] = params["clip_vision"]
+    return tree

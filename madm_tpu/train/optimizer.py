@@ -162,7 +162,8 @@ def _deep_merge(a, b):
     return b
 
 
-def split_trainable(variables: Dict[str, Any], finetune_unet: str = "all"):
+def split_trainable(variables: Dict[str, Any], finetune_unet: str = "all",
+                    learnable_clip: bool = False):
     """(trainable, frozen) split of the params tree.
 
     Trainable = unet-per-``finetune_unet``-mask + lora + prompt + projections
@@ -171,7 +172,10 @@ def split_trainable(variables: Dict[str, Any], finetune_unet: str = "all"):
     backward (``ldm_diffusers.py:101-141``); here it is a static pytree
     partition so jit'd grads are simply never computed for frozen leaves."""
     p = variables["params"]
-    frozen_keys = ("vae_encoder", "vae_decoder")
+    frozen_keys = ["vae_encoder", "vae_decoder"]
+    if "clip_vision" in p and not learnable_clip:
+        # clip_state='no_learnable_clip': frozen CLIP tower (clip.py:96-106)
+        frozen_keys.append("clip_vision")
     trainable = {k: v for k, v in p.items() if k not in frozen_keys}
     frozen = {k: p[k] for k in frozen_keys}
     if "unet" in trainable:

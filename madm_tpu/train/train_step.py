@@ -102,6 +102,11 @@ class TrainConfig:
     rand_prompt_scale: float = 0.5
     # student-timestep shift for denoise_supervise (cmdise.py:584)
     denoise_interval: int = 0
+    # two-stage source mixing with stage-1 generated 'pl data'
+    # (cmdise.py:392-408): None | 'only_pl_data' | 'linear_mix' |
+    # 'gradual_linear_mix' | 'anti_gradual_linear_mix' | 'random_choice'
+    merge_with_pl_data: Optional[str] = None
+    pl_merge_val: float = 0.5
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -123,7 +128,10 @@ def add_feature_distance_baseline(state: "TrainState") -> "TrainState":
 
 
 def make_train_state(model: MADM, variables: Dict[str, Any], tx) -> TrainState:
-    trainable, _ = split_trainable(variables, model.cfg.finetune_unet)
+    trainable, _ = split_trainable(
+        variables, model.cfg.finetune_unet,
+        learnable_clip=model.cfg.clip_state == "learnable_clip",
+    )
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=variables["params"],
@@ -198,6 +206,8 @@ def build_train_config(cfg, mcfg: MADMConfig) -> TrainConfig:
         prompt_confidence=knob("prompt_confidence"),
         rand_prompt_scale=knob("rand_prompt_scale"),
         denoise_interval=int(knob("denoise_interval") or 0),
+        merge_with_pl_data=knob("merge_with_pl_data"),
+        pl_merge_val=float(knob("pl_merge_val") or 0.5),
     )
 
 
@@ -260,13 +270,41 @@ def make_train_step(model: MADM, tc: TrainConfig, tx):
         # ---------------- EMA teacher update (cmdise.py:337-349) ----------
         alpha = ema_alpha(step.astype(jnp.float32), tc.ema_alpha)
         ema = update_ema(
-            ts.ema, student_subtree(ts.params, mcfg.same_cond_params), alpha
+            ts.ema,
+            student_subtree(ts.params, mcfg.same_cond_params,
+                            learnable_clip=mcfg.clip_state == "learnable_clip"),
+            alpha,
         )
 
         source = batch["source_rgb"]
         target = batch["target_second_modality"]
         gt = batch["source_label"]
         b = source.shape[0]
+
+        if tc.merge_with_pl_data is not None:
+            # mix the source image with stage-1 generated pl data
+            # (cmdise.py:392-408); modes are static, schedules traced
+            pl = batch["source_pl_data"]
+            mode = tc.merge_with_pl_data
+            if mode == "only_pl_data":
+                source = pl
+            elif mode == "linear_mix":
+                source = (1 - tc.pl_merge_val) * source + tc.pl_merge_val * pl
+            elif mode == "gradual_linear_mix":
+                v = step.astype(jnp.float32) / tc.max_iter
+                source = (1 - v) * source + v * pl
+            elif mode == "anti_gradual_linear_mix":
+                v = jnp.maximum(
+                    0.0, 1.0 - step.astype(jnp.float32) / (tc.max_iter * 0.5)
+                )
+                source = (1 - v) * source + v * pl
+            elif mode == "random_choice":
+                take = jax.random.uniform(jax.random.fold_in(rng, 99), ()) > (
+                    1 - tc.pl_merge_val
+                )
+                source = jnp.where(take, pl, source)
+            else:
+                raise NotImplementedError(mode)
 
         # ---------------- DACS mix inputs (no grad) -----------------------
         mix_mask = dacs.sample_class_masks(k_mask, gt, num_classes)  # [B,H,W]
@@ -279,7 +317,10 @@ def make_train_step(model: MADM, tc: TrainConfig, tx):
 
         t_pl = rev_noise_timestep(k_revt, step.astype(jnp.float32), tc)
 
-        _, frozen = split_trainable({"params": ts.params}, mcfg.finetune_unet)
+        _, frozen = split_trainable(
+            {"params": ts.params}, mcfg.finetune_unet,
+            learnable_clip=mcfg.clip_state == "learnable_clip",
+        )
         base_vars = {
             "params": ts.params, "ema": ema, "state": ts.state, "consts": ts.consts,
         }
@@ -530,7 +571,10 @@ def make_train_step(model: MADM, tc: TrainConfig, tx):
                 )
             return sum(losses.values()), (losses, bn2)
 
-        trainable, _ = split_trainable({"params": ts.params}, mcfg.finetune_unet)
+        trainable, _ = split_trainable(
+            {"params": ts.params}, mcfg.finetune_unet,
+            learnable_clip=mcfg.clip_state == "learnable_clip",
+        )
         (_, (losses_src, bn1)), grads_src = jax.value_and_grad(
             loss_src, has_aux=True
         )(trainable)

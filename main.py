@@ -106,6 +106,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--prompt_seq_len", type=int, default=None)
     p.add_argument("--init_uncond_prompt", action="store_true")
     p.add_argument("--denoise_interval", type=int, default=None)
+    p.add_argument("--merge_with_pl_data", default=None,
+                   help="mode or 'mode-val' (reference main.py:567-583)")
+    p.add_argument("--pl_data_path", default=None)
+    p.add_argument("--merge_more_target_data", default=None)
+    p.add_argument("--with_clip", default=None,
+                   choices=["no_learnable_clip", "learnable_clip"])
     # reference spelling kept ("corss"), main.py:758
     p.add_argument("--concat_corss_attention_feat_to_conv_seg",
                    dest="concat_attention_to_conv_seg", action="store_true")
@@ -238,6 +244,18 @@ def apply_cli_mutations(cfg, args):
         cfg.model.init_uncond_prompt = True
     if args.denoise_interval is not None:
         cfg.model.denoise_interval = args.denoise_interval
+    if args.merge_with_pl_data is not None:
+        mode = args.merge_with_pl_data
+        if "-" in mode:  # 'linear_mix-0.3' (reference cmdise.py:204-205)
+            mode, val = mode.split("-")
+            cfg.model.pl_merge_val = float(val)
+        cfg.model.merge_with_pl_data = mode
+    if args.pl_data_path is not None:
+        cfg.dataloader.train.dataset.pl_data_path = args.pl_data_path
+    if args.merge_more_target_data is not None:
+        cfg.dataloader.train.dataset.merge_more_target_data = args.merge_more_target_data
+    if args.with_clip is not None:
+        cfg.model.clip_state = args.with_clip
     if args.concat_attention_to_conv_seg:
         cfg.model.concat_attention_to_conv_seg = True
     if args.tag:
@@ -338,7 +356,10 @@ def build_model_and_state(cfg, args):
                             uncond, tgt, method="bilinear")
                         tree["prompt_embed"] = pe.astype(tree["prompt_embed"].dtype)
 
-    trainable, _ = split_trainable(variables, model.cfg.finetune_unet)
+    trainable, _ = split_trainable(
+        variables, model.cfg.finetune_unet,
+        learnable_clip=model.cfg.clip_state == "learnable_clip",
+    )
     opt = cfg.optimizer
     tx = make_optimizer(
         trainable,

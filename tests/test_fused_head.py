@@ -132,3 +132,39 @@ def test_prompt_structure_knobs_and_single_scale_graph():
     ids3 = jax.jit(m3.eval_forward_ids)(
         v3, jax.random.uniform(jax.random.PRNGKey(3), (1, 64, 64, 3)))
     assert ids3.shape == (1, 64, 64)
+
+
+def test_clip_state_prefix_conditioning():
+    """clip_state='no_learnable_clip': a frozen CLIP tower feeds
+    PositionalLinear prompts (reference --with_clip, ldm_base.py:844-853);
+    'learnable_clip' adds the EMA copy for teacher passes."""
+    from madm_tpu.models.clip_image import ClipAdapter, CLIPVisionTransformer
+    from madm_tpu.models.madm import MADM, MADMConfig
+    from madm_tpu.train.optimizer import split_trainable
+
+    base = dict(num_classes=5, crop_size=(64, 64),
+                unet_channels=(32, 64, 128, 128), vae_channels=(32, 32, 64, 64),
+                feature_dims=(3, 32, 64, 128), projection_dim=(32, 32, 32, 32),
+                compute_dtype=jnp.float32)
+    m = MADM(MADMConfig(**base, clip_state="no_learnable_clip"))
+    m.clip_adapter = ClipAdapter()
+    m.clip_adapter.vision = CLIPVisionTransformer(
+        image_size=32, patch_size=8, width=64, layers=2, heads=4,
+        mlp_dim=128, out_dim=48,
+    )
+    v = m.init_params(jax.random.PRNGKey(0))
+    assert "clip_vision" in v["params"]
+    assert "prompt_embed_project" in v["params"]["prompt"]["clip_project_rgb"]
+    ids = jax.jit(m.eval_forward_ids)(
+        v, jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3)))
+    assert ids.shape == (1, 64, 64)
+    # frozen tower stays out of the trainable tree
+    trainable, frozen = split_trainable(v, learnable_clip=False)
+    assert "clip_vision" in frozen and "clip_vision" not in trainable
+
+    m2 = MADM(MADMConfig(**base, clip_state="learnable_clip"))
+    m2.clip_adapter = m.clip_adapter
+    v2 = m2.init_params(jax.random.PRNGKey(0))
+    assert "clip_vision" in v2["ema"]  # teacher copy exists
+    trainable2, _ = split_trainable(v2, learnable_clip=True)
+    assert "clip_vision" in trainable2

@@ -119,3 +119,42 @@ def test_dataset_remove_texture_and_remove_amp(tmp_path):
     pha2 = s2["source_rgb_pha"]
     assert pha2.shape == (16, 16, 3)
     assert 0 <= pha2.min() and pha2.max() <= 255
+
+
+def test_dataset_pl_data_and_extra_target(tmp_path):
+    """Two-stage data extras: pl_data_path loads stage-1 images parallel to
+    the source labels with the same crop/flip; merge_more_target_data
+    appends a directory of extra target images (reference
+    cross_modality_dataset.py:223-228,278-284)."""
+    import json
+
+    from PIL import Image
+
+    from madm_tpu.data import CrossModalityDataset
+
+    rng = np.random.default_rng(3)
+    for name in ("img.png", "lbl.png"):
+        arr = rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+        Image.fromarray(arr if name != "lbl.png" else arr[..., 0]).save(tmp_path / name)
+    pl_dir = tmp_path / "pl"
+    pl_dir.mkdir()
+    Image.fromarray(np.full((40, 40, 3), 7, np.uint8)).save(pl_dir / "lbl.png")
+    extra_dir = tmp_path / "extra"
+    extra_dir.mkdir()
+    Image.fromarray(np.full((40, 40, 3), 9, np.uint8)).save(extra_dir / "more.png")
+    manifest = {
+        "source_data": {"RGB": ["img.png"], "label": ["lbl.png"]},
+        "target_data": {"second_modality": ["img.png"]},
+    }
+    (tmp_path / "m.json").write_text(json.dumps(manifest))
+    ds = CrossModalityDataset(
+        json_path=str(tmp_path / "m.json"),
+        source_root_path=str(tmp_path), target_root_path=str(tmp_path),
+        source_resize_h_w=[32, 32], source_crop_size_h_w=[16, 16],
+        target_resize_h_w=[32, 32], target_crop_size_h_w=[16, 16],
+        seed=0, pl_data_path=str(pl_dir), merge_more_target_data="extra",
+    )
+    assert len(ds) == 2  # extra target image appended
+    s = ds[0]
+    assert s["source_pl_data"].shape == (16, 16, 3)
+    np.testing.assert_allclose(s["source_pl_data"], 7.0)

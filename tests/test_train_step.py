@@ -158,3 +158,22 @@ def test_mask_prompt_and_mic_mutually_exclusive(setup):
     model, state, _, _ = setup
     with pytest.raises(AssertionError, match="exclusive"):
         make_train_step(model, TrainConfig(mic=True, mask_prompt_ratio=0.5), None)
+
+
+def test_merge_with_pl_data_modes(setup):
+    """Two-stage source mixing (cmdise.py:392-408): linear_mix consumes
+    batch['source_pl_data']."""
+    model, state, _, _ = setup
+    tc = TrainConfig(max_iter=10, rev_noise_sup=False,
+                     merge_with_pl_data="linear_mix", pl_merge_val=0.3)
+    trainable, _ = split_trainable({"params": state.params})
+    tx = make_optimizer(trainable, max_iter=10)
+    step_fn = jax.jit(make_train_step(model, tc, tx))
+    batch = {
+        "source_rgb": jax.random.uniform(jax.random.PRNGKey(21), (1, 64, 64, 3)),
+        "source_pl_data": jax.random.uniform(jax.random.PRNGKey(22), (1, 64, 64, 3)),
+        "source_label": jax.random.randint(jax.random.PRNGKey(23), (1, 64, 64), 0, 11),
+        "target_second_modality": jax.random.uniform(jax.random.PRNGKey(24), (1, 64, 64, 3)),
+    }
+    _, metrics = step_fn(state, batch, jax.random.PRNGKey(45))
+    assert np.isfinite(float(metrics["total_loss"]))
