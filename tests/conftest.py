@@ -21,6 +21,7 @@ except ImportError:
     pass
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
@@ -29,3 +30,25 @@ jax.config.update("jax_default_matmul_precision", "highest")
 assert len(jax.devices()) == 8 and jax.devices()[0].platform == "cpu", (
     f"test harness needs 8 virtual CPU devices, got {jax.devices()}"
 )
+
+# modules dominated by multi-minute XLA:CPU compiles (full train-step /
+# sliding-window / surgery jits) — the fast gate is `pytest -m "not slow"`,
+# the full suite stays the pre-commit gate (see CLAUDE.md)
+_SLOW_MODULES = {
+    "test_train_step",
+    "test_slide_inference",
+    "test_conv_in_surgery",
+    "test_finetune_unet",
+    "test_eval_pipeline",
+    "test_torch_golden",
+    "test_daformer_golden",
+    "test_ldm_extractor",
+    "test_fused_head",
+    "test_attention_features",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
