@@ -361,8 +361,16 @@ def convert_daformer_head(
     """reference DAFormerHead state dict -> (params, batch_stats)."""
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
+    vae_proj: Dict[str, np.ndarray] = {}
 
     def put(rel_key: str, w: np.ndarray):
+        if rel_key.endswith("num_batches_tracked"):
+            return  # torch BN bookkeeping; no flax equivalent
+        if rel_key.startswith("vae_decoder_feat_proj."):
+            # final_fuse_vae_decoder_feat projection: a 1-block d2
+            # BottleneckBlock Sequential (daformer_head.py:575-589)
+            vae_proj[rel_key.split(".", 2)[2]] = w  # drop Sequential '0.'
+            return
         tokens = _merge_indices(rel_key.split("."))
         # embed_layers.{i}.proj -> embed_{pos}
         if tokens[0].startswith("embed_layers_"):
@@ -394,6 +402,8 @@ def convert_daformer_head(
     for key, w in sd.items():
         if key.startswith(prefix + "."):
             put(key[plen:], w)
+    if vae_proj:
+        params["vae_decoder_feat_proj"] = _convert_bottleneck(vae_proj)
     return params, stats
 
 

@@ -23,11 +23,18 @@ from flax import linen as nn
 
 
 def resize_bilinear(x: jax.Array, size) -> jax.Array:
-    """align_corners=False bilinear resize (torch F.interpolate semantics)."""
+    """align_corners=False bilinear resize (torch F.interpolate semantics).
+
+    ``antialias=False``: torch's F.interpolate does not antialias, but
+    jax.image.resize does by default when DOWNSCALING — caught by the
+    final_fuse_vae_decoder_feat torch golden (the head's 512->256 s0
+    downscale, daformer_head.py:727-729)."""
     b, h, w, c = x.shape
     if (h, w) == tuple(size):
         return x
-    return jax.image.resize(x, (b, size[0], size[1], c), method="bilinear")
+    return jax.image.resize(
+        x, (b, size[0], size[1], c), method="bilinear", antialias=False
+    )
 
 
 class ConvModule(nn.Module):

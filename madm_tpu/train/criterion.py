@@ -28,7 +28,9 @@ def _resize_logits(logits: jax.Array, hw) -> jax.Array:
     b, h, w, c = logits.shape
     if (h, w) == tuple(hw):
         return logits
-    return jax.image.resize(logits, (b, hw[0], hw[1], c), method="bilinear")
+    return jax.image.resize(
+        logits, (b, hw[0], hw[1], c), method="bilinear", antialias=False
+    )  # F.interpolate semantics (no antialias)
 
 
 def cross_entropy(
