@@ -44,7 +44,8 @@ _UDA_KEYS = (
     "detach_mask_prompt", "prompt_perturbation", "prompt_confidence",
     "rand_prompt_scale", "without_prompt", "without_prompt_alpha",
     "prompt_seq_len", "init_uncond_prompt", "denoise_interval",
-    "merge_with_pl_data", "pl_merge_val",
+    "merge_with_pl_data", "pl_merge_val", "fd_attention",
+    "target_attention_loss",
 )
 
 _FIELD_NAMES = {f.name for f in dataclasses.fields(MADMConfig)}
@@ -82,6 +83,10 @@ def build_madm(
     concat_pixel_shuffle: bool = False,
     add_latent_noise: float = -1.0,
     norm_latent_noise: bool = False,
+    multi_layer_prompt: bool = False,
+    attention_features_res: Sequence[int] = (),
+    attention_features_location: Sequence[str] = (),
+    attention_select_index: Optional[Sequence[int]] = None,
     **extra,
 ) -> MADM:
     uda = {}
@@ -137,6 +142,13 @@ def build_madm(
         input_channel_plus=input_channel_plus,
         mask_diff=mask_diff,
         concat_pixel_shuffle=concat_pixel_shuffle,
+        multi_layer_prompt=multi_layer_prompt,
+        attention_features_res=tuple(attention_features_res or ()),
+        attention_features_location=tuple(attention_features_location or ()),
+        attention_select_index=(
+            tuple(attention_select_index)
+            if attention_select_index is not None else None
+        ),
         add_latent_noise=add_latent_noise,
         norm_latent_noise=norm_latent_noise,
         **uda,

@@ -21,6 +21,7 @@ here, so every variant is one straight-line XLA program.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
@@ -64,6 +65,29 @@ class MADMConfig:
     concat_attention_to_conv_seg: bool = False
     # conditioning
     same_cond_params: bool = True
+    # per-UNet-cross-attn-layer learnable prompts: [16,1,77,768]
+    # (reference --multi_layer_prompt, ldm_base.py:635-660,927-934)
+    multi_layer_prompt: bool = False
+    # cross-attention probability taps (a WORKING implementation of the
+    # reference's attention-features surface — its snapshot stores the
+    # config, reads the flags, but never fills ``attention_features``:
+    # feature_extractor.py:287-396 sets it to {}, and the consuming
+    # ``atte_controller`` is never defined, cmdise.py:484-485).
+    # res uses the reference's 512-input naming ({16,32,64}; 8 = mid)
+    attention_features_res: Tuple[int, ...] = ()
+    attention_features_location: Tuple[str, ...] = ()  # 'down'|'mid'|'up'
+    # teacher-student consistency on target attention maps (the reference
+    # reads this flag, cmdise.py:178, but never consumes it — here a
+    # working loss, see train_step)
+    target_attention_loss: bool = False
+    # token indices selected out of the 77 prompt rows for the head's
+    # conv_seg concat (main.py:510-511; must have num_classes entries when
+    # concat_attention_to_conv_seg — daformer_head.py:575 sizes conv_seg
+    # as channels + num_classes)
+    attention_select_index: Optional[Tuple[int, ...]] = None
+    # feature-distance regularization on up-block cross-attention maps vs
+    # the frozen init UNet (main.py:545-548, mtmadise.py:258-259,533-546)
+    fd_attention: float = 0.0
     # CLIP image prefix conditioning (reference --with_clip,
     # ldm_base.py:740-760,844-853): 'no' (shipped configs) |
     # 'no_learnable_clip' (frozen tower) | 'learnable_clip' (trainable,
@@ -130,10 +154,11 @@ class MADMConfig:
     vae_decoder_loss_type: str = "L1"
     vae_decoder_loss_weight: Tuple[float, ...] = (1.0, 1.0)
     reg_uncertain: bool = False
-    # per-sample confident fraction ('sample') vs the reference's per-rank
-    # scalar over the whole local batch ('batch', cmdise.py:498-502); equal
-    # at local batch 1
-    pseudo_weight_scope: str = "batch"
+    # per-sample confident fraction ('sample', default — equals the
+    # reference's per-rank scalar at its shipped local batch 1,
+    # cmdise.py:498-502, independent of device count) vs one global scalar
+    # over the whole GSPMD batch ('batch')
+    pseudo_weight_scope: str = "sample"
     eval_with_noise: Optional[int] = None
     # prompt ablations (reference ldm_base.py:893-924 / cmdise.py:179-191):
     # extra passes with token-dropout / gaussian-perturbed / random prompts
@@ -218,6 +243,34 @@ class MADM:
             dtype=dt,
             remat=config.remat,
         )
+        # capture variant: same params, sows cross-attn probabilities into
+        # 'attn_probs'.  A separate module (not a flag on self.unet) so
+        # ordinary passes keep the fused/flash attention path
+        self.unet_capture = (
+            UNet2DCondition(
+                unet_block_indices=config.unet_block_indices,
+                unet_block_indices_type=config.unet_block_indices_type,
+                block_out_channels=unet_ch,
+                dtype=dt,
+                remat=config.remat,
+                attention_features_res=config.attention_features_res,
+                attention_features_location=config.attention_features_location,
+            )
+            if config.attention_features_res
+            else None
+        )
+        if config.concat_attention_to_conv_seg or config.target_attention_loss or config.fd_attention:
+            assert self.unet_capture is not None, (
+                "attention consumers need attention_features_res/location set "
+                "(reference main.py:545-548 sets res={16,32}, location=['up'])"
+            )
+        if config.concat_attention_to_conv_seg:
+            assert config.attention_select_index is not None and len(
+                config.attention_select_index
+            ) == config.num_classes, (
+                "concat_attention_to_conv_seg needs attention_select_index "
+                "with num_classes entries (daformer_head.py:575)"
+            )
         self.projections = MultiScaleProjection(
             feature_dims=config.feature_dims,
             projection_dim=config.projection_dim,
@@ -307,7 +360,15 @@ class MADM:
             k: jnp.zeros((1, h // s, w // s, d), jnp.float32)
             for k, s, d in zip(self.cfg.in_keys, self._strides(), self.cfg.projection_dim)
         }
-        head_vars = jax.jit(self.head.init)(keys[4], head_in)
+        head_kw = {}
+        if self.cfg.concat_attention_to_conv_seg:
+            # conv_seg takes channels + num_classes inputs
+            # (daformer_head.py:575) — init with the concat slot populated
+            s0 = self._strides()[0]
+            head_kw["cross_attention_feat"] = jnp.zeros(
+                (1, h // s0, w // s0, self.cfg.num_classes), jnp.float32
+            )
+        head_vars = jax.jit(partial(self.head.init, **head_kw))(keys[4], head_in)
         head, head_bn = head_vars["params"], head_vars.get("batch_stats", {})
         head_sec = jax.tree.map(jnp.copy, head) if self.cfg.sem_seg_head_sec_modal else None
         head_sec_bn = jax.tree.map(jnp.copy, head_bn) if self.cfg.sem_seg_head_sec_modal else None
@@ -324,6 +385,7 @@ class MADM:
             in_features=(
                 self.clip_adapter.dim_latent if self.clip_adapter else 768
             ),
+            multi_layer_prompt=self.cfg.multi_layer_prompt,
         )
         lora = {
             name: init_lora(unet, spec["rank"], spec["alpha"], rng=keys[6])
@@ -462,10 +524,77 @@ class MADM:
                 )
             elif prompt_mode == "rand_prompt":
                 cp = prompt_lib.rand_prompt(prompt_rng, cp, self.cfg.rand_prompt_scale)
-        cp = jnp.broadcast_to(cp, (batch_size,) + cp.shape[1:])
+        if cp.ndim == 4:  # multi_layer_prompt: [L, 1, S, D] -> [L, B, S, D]
+            cp = jnp.broadcast_to(cp, cp.shape[:1] + (batch_size,) + cp.shape[2:])
+        else:
+            cp = jnp.broadcast_to(cp, (batch_size,) + cp.shape[1:])
         if ct is not None:
             ct = jnp.broadcast_to(ct, (batch_size,) + ct.shape[1:])
         return cp, ct
+
+    # ------------------------------------------------ attention features
+    def _collect_attention(
+        self, probs_tree: Dict[str, Any], lh: int, lw: int
+    ) -> Dict[str, Any]:
+        """Sown cross-attn probabilities -> the attention-features surface.
+
+        Returns:
+          ``attention_features``: {res: [B,h,w,S] fp32} — maps averaged over
+            every captured layer at that resolution (the working version of
+            the reference's always-empty dict, feature_extractor.py:369);
+          ``up_cross``: ordered list of up-location maps, the
+            ``get_average_attention()['up_cross']`` analog (mtmadise.py:259);
+          ``cross_attention_feat``: [B,h,w,num_classes] token-selected map at
+            the largest captured resolution, feeding the head's
+            ``concat_attention_to_conv_seg`` slot (daformer_head.py:677-688).
+        """
+        cfg = self.cfg
+        nb = len(self.unet.block_out_channels)
+
+        def leaf(block: str, attn_name: str):
+            try:
+                t = probs_tree[block][attn_name]["transformer_blocks_0"]["attn2"]
+                return t["probs"][0]  # sow() stores a 1-tuple
+            except KeyError:
+                return None
+
+        entries = []  # (location, res, [B,h,w,S])
+        for bi in range(nb - 1):
+            h, w = lh >> bi, lw >> bi
+            for i in range(2):  # LAYERS_PER_BLOCK
+                p = leaf(f"down_blocks_{bi}", f"attentions_{i}")
+                if p is not None:
+                    b, _, s = p.shape
+                    entries.append(("down", 64 >> bi, p.reshape(b, h, w, s)))
+        p = leaf("mid_block", "attentions_0")
+        if p is not None:
+            h, w = lh >> (nb - 1), lw >> (nb - 1)
+            b, _, s = p.shape
+            entries.append(("mid", 8, p.reshape(b, h, w, s)))
+        for bi in range(1, nb):
+            h, w = lh >> (nb - 1 - bi), lw >> (nb - 1 - bi)
+            for i in range(3):  # LAYERS_PER_BLOCK + 1
+                p = leaf(f"up_blocks_{bi}", f"attentions_{i}")
+                if p is not None:
+                    b, _, s = p.shape
+                    entries.append(("up", 8 << bi, p.reshape(b, h, w, s)))
+
+        by_res: Dict[int, list] = {}
+        for _, res, p in entries:
+            by_res.setdefault(res, []).append(p)
+        features = {
+            res: sum(ps) / len(ps) for res, ps in sorted(by_res.items())
+        }
+        out: Dict[str, Any] = {
+            "attention_features": features,
+            "up_cross": [p for loc, _, p in entries if loc == "up"],
+        }
+        if cfg.attention_select_index is not None and features:
+            big = features[max(features)]
+            out["cross_attention_feat"] = big[
+                ..., jnp.asarray(cfg.attention_select_index)
+            ]
+        return out
 
     # ---------------------------------------------------------- backbone
     def backbone_forward(
@@ -483,6 +612,7 @@ class MADM:
         latent_noise_rng: Optional[jax.Array] = None,  # add_latent_noise
         prompt_mode: Optional[str] = None,  # masked/perturbed/random prompt
         prompt_rng: Optional[jax.Array] = None,
+        capture_attention: bool = False,  # tap cross-attn probability maps
     ) -> Dict[str, Any]:
         """One diffusion feature pass.
 
@@ -541,11 +671,24 @@ class MADM:
                 scale=spec["alpha"] / spec["rank"],
             )
 
-        eps, taps = self.unet.apply(
-            {"params": unet_params}, noisy, timesteps, cond_prompt, cond_time
-        )
+        if capture_attention:
+            assert self.unet_capture is not None, (
+                "capture_attention needs attention_features_res/location"
+            )
+            (eps, taps), mut = self.unet_capture.apply(
+                {"params": unet_params}, noisy, timesteps, cond_prompt, cond_time,
+                mutable=["attn_probs"],
+            )
+            attn = self._collect_attention(
+                mut["attn_probs"], noisy.shape[1], noisy.shape[2]
+            )
+        else:
+            eps, taps = self.unet.apply(
+                {"params": unet_params}, noisy, timesteps, cond_prompt, cond_time
+            )
+            attn = {}
 
-        out: Dict[str, Any] = {"unet_taps": taps}
+        out: Dict[str, Any] = {"unet_taps": taps, **attn}
         feats: list = []
         if cfg.use_s0:
             assert cfg.vae_decoder_loss is not None
@@ -598,6 +741,10 @@ class MADM:
         crops = jnp.concatenate(
             [images[:, y1:y2, x1:x2] for (y1, y2, x1, x2) in windows], axis=0
         )
+        if kw.get("timesteps") is not None:
+            # per-image timesteps ride along to every window crop
+            # (eval_with_noise through the slide path, mtmadise.py:681-682)
+            kw["timesteps"] = jnp.tile(kw["timesteps"], len(windows))
         feats = self.backbone_forward(variables, crops, **kw)["output_features"]
         stitched = {}
         for name, stride in zip(self.cfg.out_features, self._strides()):
@@ -624,10 +771,13 @@ class MADM:
         update_bn: bool = False,
         use_sec_modal: bool = False,
         return_pre_seg: bool = False,
+        cross_attention_feat: Optional[jax.Array] = None,
     ):
         """DAFormer head; returns logits [B, h, w, C] (+ new BN stats if
         ``update_bn``).  ``use_sec_modal`` routes to the separate target
-        head when ``sem_seg_head_sec_modal`` is configured (cmdise.py:154-157)."""
+        head when ``sem_seg_head_sec_modal`` is configured (cmdise.py:154-157);
+        ``cross_attention_feat`` feeds the ``concat_attention_to_conv_seg``
+        slot (daformer_head.py:677-688)."""
         sec = use_sec_modal and self.cfg.sem_seg_head_sec_modal
         if ema_forward:
             p = variables["ema"]["head"]
@@ -641,9 +791,10 @@ class MADM:
         var_in = {"params": p, "batch_stats": bn}
         rngs = {"dropout": dropout_rng} if (train and dropout_rng is not None) else {}
         if update_bn and train:
-            def apply_fn(v, f):
+            def apply_fn(v, f, att):
                 logits, mut = self.head.apply(
-                    v, f, train=True, rngs=rngs, mutable=["batch_stats"]
+                    v, f, train=True, rngs=rngs, mutable=["batch_stats"],
+                    cross_attention_feat=att,
                 )
                 return logits, mut["batch_stats"]
 
@@ -652,17 +803,19 @@ class MADM:
                 # backward's saved set; the inner per-branch remat (ASPPWrapper)
                 # chunks the recomputed backward's working set
                 apply_fn = jax.checkpoint(apply_fn)
-            return apply_fn(var_in, features)
+            return apply_fn(var_in, features, cross_attention_feat)
         if train:
             # train-mode BN (normalize by batch stats) without persisting the
             # running-stat update — used by teacher/aux passes
             logits, _ = self.head.apply(
-                var_in, features, train=True, rngs=rngs, mutable=["batch_stats"]
+                var_in, features, train=True, rngs=rngs, mutable=["batch_stats"],
+                cross_attention_feat=cross_attention_feat,
             )
             return logits
         logits = self.head.apply(
             var_in, features, train=train, rngs=rngs,
             return_pre_seg=return_pre_seg,
+            cross_attention_feat=cross_attention_feat,
         )
         return logits
 
@@ -683,12 +836,16 @@ class MADM:
             None if eval_with_noise is None
             else jnp.full((images.shape[0],), eval_with_noise, jnp.int32)
         )
-        feats = self.backbone_forward(
+        out = self.backbone_forward(
             variables, images, input_modal="others", lora_name=lora_name,
             timesteps=timesteps,
             modality_mask=self.modality_mask(images, self.cfg.target_modality),
-        )["output_features"]
-        logits = self.head_forward(variables, feats, use_sec_modal=True)
+            capture_attention=self.cfg.concat_attention_to_conv_seg,
+        )
+        logits = self.head_forward(
+            variables, out["output_features"], use_sec_modal=True,
+            cross_attention_feat=out.get("cross_attention_feat"),
+        )
         logits = resize_bilinear(logits.astype(jnp.float32), images.shape[1:3])
         return logits
 
@@ -754,11 +911,21 @@ class MADM:
             None if eval_with_noise is None
             else jnp.full((images.shape[0],), eval_with_noise, jnp.int32)
         )
-        feats = self.backbone_forward(
+        bb_out = self.backbone_forward(
             variables, images, input_modal="others", lora_name=lora_name,
             timesteps=timesteps,
             modality_mask=self.modality_mask(images, self.cfg.target_modality),
-        )["output_features"]
+            capture_attention=self.cfg.concat_attention_to_conv_seg,
+        )
+        feats = bb_out["output_features"]
+        if self.cfg.concat_attention_to_conv_seg:
+            # fused-head kernels don't model the concat slot; plain path
+            logits = self.head_forward(
+                variables, feats, use_sec_modal=True,
+                cross_attention_feat=bb_out.get("cross_attention_feat"),
+            )
+            logits = resize_bilinear(logits.astype(jnp.float32), images.shape[1:3])
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
         mode = self._eval_head_mode(images.shape)
         sec = self.cfg.sem_seg_head_sec_modal
         if mode != "none":

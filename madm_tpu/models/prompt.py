@@ -48,27 +48,42 @@ def init_clip_feature_project(
     seq_len: int = PROMPT_SEQ_LEN,
     input_prefix: bool = False,
     in_features: int = 768,
+    multi_layer_prompt: bool = False,
+    num_unet_layers: int = 16,
 ) -> Dict[str, Any]:
     """Initialize one ``ClipFeatureProject`` parameter set.
 
     (reference init: ``ldm_base.py:645-673`` — prompt/time embeds
-    trunc-normal(0.02), alphas: cond/uncond prompt ~ U[0,1), time zeros)."""
+    trunc-normal(0.02), alphas: cond/uncond prompt ~ U[0,1), time zeros.
+    ``multi_layer_prompt`` gives each of the UNet's 16 cross-attention
+    layers its own prompt row, ``ldm_base.py:649-651,658-662`` — shape
+    [16, 1, seq, 768]; likewise the alphas.)"""
     if isinstance(rng, int):
         rng = jax.random.PRNGKey(rng)
     r1, r2, r3, r4 = jax.random.split(rng, 4)
+    lead = (num_unet_layers,) if multi_layer_prompt else ()
     p: Dict[str, Any] = {}
     if learnable_cond_prompt:
         if input_prefix:
             # CLIP image prefix -> PositionalLinear prompt
-            # (ldm_base.py:657,844-853, input_prefix=True)
+            # (ldm_base.py:657,844-853, input_prefix=True); the reference
+            # only builds the per-layer prompt in the non-prefix branch
+            assert not multi_layer_prompt, (
+                "multi_layer_prompt is incompatible with clip_state prefixes "
+                "(ldm_base.py:644-657)"
+            )
             p["prompt_embed_project"] = init_positional_linear(
                 r1, in_features, PROMPT_DIM, seq_len
             )
         else:
-            p["prompt_embed"] = _trunc_normal(r1, (1, seq_len, PROMPT_DIM))
+            p["prompt_embed"] = _trunc_normal(r1, lead + (1, seq_len, PROMPT_DIM))
         if not without_prompt_alpha:
-            p["alpha_cond_prompt"] = jax.random.uniform(r3, (1, seq_len, PROMPT_DIM))
-            p["alpha_uncond_prompt"] = jax.random.uniform(r4, (1, seq_len, PROMPT_DIM))
+            p["alpha_cond_prompt"] = jax.random.uniform(
+                r3, lead + (1, seq_len, PROMPT_DIM)
+            )
+            p["alpha_uncond_prompt"] = jax.random.uniform(
+                r4, lead + (1, seq_len, PROMPT_DIM)
+            )
     if learnable_cond_time:
         if input_prefix:
             p["time_embed_project"] = init_positional_linear(
@@ -99,17 +114,18 @@ def cond_prompt(
     if "prompt_embed" not in params:
         return uncond_prompt
     if "alpha_cond_prompt" in params:
-        if uncond_prompt.shape[1] != params["alpha_cond_prompt"].shape[1]:
+        alpha = params["alpha_cond_prompt"]  # [1,S,D] or [L,1,S,D] (multi-layer)
+        if uncond_prompt.shape[-2] != alpha.shape[-2]:
             # prompt_seq_len != 77: bilinear-resize the uncond embedding
             # (reference get_cond_prompt, ldm_base.py:678-680)
             uncond_prompt = jax.image.resize(
                 uncond_prompt,
-                (uncond_prompt.shape[0],) + params["alpha_cond_prompt"].shape[1:],
-                method="bilinear",
+                (uncond_prompt.shape[0],) + alpha.shape[-2:],
+                method="bilinear", antialias=False,  # F.interpolate semantics
             )
         return (
             jnp.tanh(params["alpha_uncond_prompt"]) * uncond_prompt
-            + jnp.tanh(params["alpha_cond_prompt"]) * params["prompt_embed"]
+            + jnp.tanh(alpha) * params["prompt_embed"]
         )
     return params["prompt_embed"]
 

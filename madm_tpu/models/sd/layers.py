@@ -142,6 +142,10 @@ class Attention(nn.Module):
     head_dim: int
     dtype: jnp.dtype = jnp.float32
     attention_impl: Optional[str] = None
+    # sow head-averaged attention probabilities into the 'attn_probs'
+    # collection (the working replacement for the reference's never-defined
+    # ``atte_controller``, cmdise.py:484-485 / mtmadise.py:259)
+    capture_attn: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, context: Optional[jax.Array] = None) -> jax.Array:
@@ -157,7 +161,17 @@ class Attention(nn.Module):
         q = q.reshape(b, s, self.num_heads, self.head_dim)
         k = k.reshape(b, sk, self.num_heads, self.head_dim)
         v = v.reshape(b, sk, self.num_heads, self.head_dim)
-        out = dot_product_attention(q, k, v, impl=self.attention_impl)
+        if self.capture_attn:
+            # explicit-softmax path so the probabilities exist to tap; the
+            # capture is an ablation feature, perf is secondary here
+            logits = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32,
+            ) * (self.head_dim ** -0.5)
+            p = jax.nn.softmax(logits, axis=-1)
+            self.sow("attn_probs", "probs", p.mean(axis=1))  # [B, Sq, Sk] fp32
+            out = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v)
+        else:
+            out = dot_product_attention(q, k, v, impl=self.attention_impl)
         out = out.reshape(b, s, inner)
         return nn.Dense(inner, dtype=self.dtype, name="to_out_0")(out)
 
@@ -185,16 +199,17 @@ class BasicTransformerBlock(nn.Module):
     head_dim: int
     dtype: jnp.dtype = jnp.float32
     attention_impl: Optional[str] = None
+    capture_attn: bool = False  # cross-attention (attn2) probability tap
 
     @nn.compact
     def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
-        attn = lambda name: Attention(
+        attn = lambda name, cap=False: Attention(
             self.num_heads, self.head_dim, dtype=self.dtype,
-            attention_impl=self.attention_impl, name=name,
+            attention_impl=self.attention_impl, capture_attn=cap, name=name,
         )
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
         x = x + attn("attn1")(ln("norm1")(x))
-        x = x + attn("attn2")(ln("norm2")(x), context=context)
+        x = x + attn("attn2", cap=self.capture_attn)(ln("norm2")(x), context=context)
         x = x + FeedForward(x.shape[-1], dtype=self.dtype, name="ff")(ln("norm3")(x))
         return x
 
@@ -211,6 +226,7 @@ class Transformer2DModel(nn.Module):
     head_dim: int
     dtype: jnp.dtype = jnp.float32
     attention_impl: Optional[str] = None
+    capture_attn: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
@@ -221,7 +237,8 @@ class Transformer2DModel(nn.Module):
         x = nn.Dense(self.num_heads * self.head_dim, dtype=self.dtype, name="proj_in")(x)
         x = BasicTransformerBlock(
             self.num_heads, self.head_dim, dtype=self.dtype,
-            attention_impl=self.attention_impl, name="transformer_blocks_0",
+            attention_impl=self.attention_impl,
+            capture_attn=self.capture_attn, name="transformer_blocks_0",
         )(x, context)
         x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
         return x.reshape(b, h, w, c) + residual

@@ -57,15 +57,20 @@ class CrossAttnDownBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attention_impl: Optional[str] = None
 
+    capture_attn: bool = False
+
     @nn.compact
     def __call__(self, x, temb, context):
+        # context: [B,S,D] shared, or [num_layers,B,S,D] per-cross-attn-layer
+        # (multi_layer_prompt, ldm_base.py:649-651 + ldm_diffusers.py:28-29)
         skips = []
         for i in range(self.num_layers):
             x = ResnetBlock2D(self.out_channels, dtype=self.dtype, name=f"resnets_{i}")(x, temb)
             x = Transformer2DModel(
                 NUM_HEADS, self.out_channels // NUM_HEADS, dtype=self.dtype,
-                attention_impl=self.attention_impl, name=f"attentions_{i}",
-            )(x, context)
+                attention_impl=self.attention_impl,
+                capture_attn=self.capture_attn, name=f"attentions_{i}",
+            )(x, context if context.ndim == 3 else context[i])
             skips.append(x)
         if self.add_downsample:
             x = Downsample2D(self.out_channels, dtype=self.dtype, name="downsamplers_0")(x)
@@ -96,13 +101,16 @@ class MidBlockCrossAttn(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attention_impl: Optional[str] = None
 
+    capture_attn: bool = False
+
     @nn.compact
     def __call__(self, x, temb, context):
         x = ResnetBlock2D(self.channels, dtype=self.dtype, name="resnets_0")(x, temb)
         x = Transformer2DModel(
             NUM_HEADS, self.channels // NUM_HEADS, dtype=self.dtype,
-            attention_impl=self.attention_impl, name="attentions_0",
-        )(x, context)
+            attention_impl=self.attention_impl,
+            capture_attn=self.capture_attn, name="attentions_0",
+        )(x, context if context.ndim == 3 else context[0])
         x = ResnetBlock2D(self.channels, dtype=self.dtype, name="resnets_1")(x, temb)
         return x
 
@@ -119,6 +127,7 @@ class UpBlock(nn.Module):
     unet_block_indices_type: str = "after"
     dtype: jnp.dtype = jnp.float32
     attention_impl: Optional[str] = None
+    capture_attn: bool = False
 
     @nn.compact
     def __call__(self, x, skips, temb, context):
@@ -132,8 +141,9 @@ class UpBlock(nn.Module):
             if self.has_cross_attention:
                 x = Transformer2DModel(
                     NUM_HEADS, self.out_channels // NUM_HEADS, dtype=self.dtype,
-                    attention_impl=self.attention_impl, name=f"attentions_{i}",
-                )(x, context)
+                    attention_impl=self.attention_impl,
+                    capture_attn=self.capture_attn, name=f"attentions_{i}",
+                )(x, context if context.ndim == 3 else context[i])
             if self.unet_block_indices_type == "after" and gidx in self.unet_block_indices:
                 taps.append(x)
         if self.add_upsample:
@@ -156,6 +166,20 @@ class UNet2DCondition(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attention_impl: Optional[str] = None
     remat: bool = False
+    # cross-attention probability taps (working replacement for the
+    # reference's broken attention-features path — its config stores
+    # attention_features_res/location but nothing ever fills
+    # ``attention_features``, feature_extractor.py:287-396).  ``res`` uses
+    # the reference's 512-input naming: 64 = stride-8 level, 32 = stride-16,
+    # 16 = stride-32, 8 = the mid block's stride-64 level.
+    attention_features_res: Sequence[int] = ()
+    attention_features_location: Sequence[str] = ()  # 'down' | 'mid' | 'up'
+
+    def _capture(self, location: str, res: int) -> bool:
+        return (
+            location in tuple(self.attention_features_location)
+            and res in tuple(self.attention_features_res)
+        )
 
     @nn.compact
     def __call__(
@@ -180,6 +204,12 @@ class UNet2DCondition(nn.Module):
             temb = temb + res_time_embedding.astype(temb.dtype)
 
         context = context.astype(self.dtype)
+        # multi_layer_prompt: context [16,B,77,768] — one row per cross-attn
+        # layer in the reference's layer order (ldm_diffusers.py:28-29:
+        # IN01 IN02 IN04 IN05 IN07 IN08 MID OUT03..OUT11); blocks consume
+        # their slice in encounter order
+        per_layer = context.ndim == 4
+        coff = 0
 
         maybe_remat = (lambda m: nn.remat(m)) if self.remat else (lambda m: m)
 
@@ -190,20 +220,28 @@ class UNet2DCondition(nn.Module):
         for bi, out_ch in enumerate(boc):
             is_final = bi == len(boc) - 1
             if not is_final:
+                ctx = context[coff:coff + LAYERS_PER_BLOCK] if per_layer else context
+                coff += LAYERS_PER_BLOCK
                 x, s = maybe_remat(CrossAttnDownBlock)(
                     out_ch, add_downsample=True, dtype=self.dtype,
-                    attention_impl=self.attention_impl, name=f"down_blocks_{bi}",
-                )(x, temb, context)
+                    attention_impl=self.attention_impl,
+                    capture_attn=self._capture("down", 64 >> bi),
+                    name=f"down_blocks_{bi}",
+                )(x, temb, ctx)
             else:
                 x, s = maybe_remat(DownBlock)(
                     out_ch, add_downsample=False, dtype=self.dtype, name=f"down_blocks_{bi}",
                 )(x, temb)
             skips.extend(s)
 
+        ctx = context[coff:coff + 1] if per_layer else context
+        coff += 1
         x = maybe_remat(MidBlockCrossAttn)(
             boc[-1], dtype=self.dtype,
-            attention_impl=self.attention_impl, name="mid_block",
-        )(x, temb, context)
+            attention_impl=self.attention_impl,
+            capture_attn=self._capture("mid", 8),
+            name="mid_block",
+        )(x, temb, ctx)
 
         taps = []
         up_channels = tuple(reversed(boc))  # (1280, 1280, 640, 320)
@@ -211,17 +249,24 @@ class UNet2DCondition(nn.Module):
             is_final = bi == len(up_channels) - 1
             blk_skips = skips[-(LAYERS_PER_BLOCK + 1):]
             skips = skips[: -(LAYERS_PER_BLOCK + 1)]
+            has_cross = bi != 0
+            if has_cross:
+                ctx = context[coff:coff + LAYERS_PER_BLOCK + 1] if per_layer else context
+                coff += LAYERS_PER_BLOCK + 1
+            else:
+                ctx = context
             x, t = maybe_remat(UpBlock)(
                 out_channels=out_ch,
-                has_cross_attention=(bi != 0),
+                has_cross_attention=has_cross,
                 add_upsample=not is_final,
                 start_index=bi * (LAYERS_PER_BLOCK + 1),
                 unet_block_indices=tuple(self.unet_block_indices),
                 unet_block_indices_type=self.unet_block_indices_type,
                 dtype=self.dtype,
                 attention_impl=self.attention_impl,
+                capture_attn=self._capture("up", 8 << bi) and has_cross,
                 name=f"up_blocks_{bi}",
-            )(x, blk_skips, temb, context)
+            )(x, blk_skips, temb, ctx)
             taps.extend(t)
 
         assert len(taps) == len(self.unet_block_indices)

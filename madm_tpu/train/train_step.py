@@ -64,10 +64,12 @@ class TrainConfig:
     # pl_crop (off in shipped configs)
     pl_crop: bool = False
     psweight_ignore_top: int = 15
-    # pseudo-weight scope: 'batch' = one scalar over the local batch (the
-    # reference's per-rank scalar, cmdise.py:498-502); 'sample' = per-sample
-    # confident fraction.  Equal at the reference's shipped local batch of 1.
-    pseudo_weight_scope: str = "batch"
+    # pseudo-weight scope: 'sample' (default) = per-sample confident
+    # fraction — at the reference's shipped local batch of 1 this equals its
+    # per-rank scalar (cmdise.py:498-502) on ANY device count, so it is the
+    # parity-preserving default; 'batch' = one global scalar over the whole
+    # (GSPMD-global) batch, the documented global-mean variant.
+    pseudo_weight_scope: str = "sample"
     # masked-image consistency (MIC) — CE variant (cmdise.py:181-183,
     # mtmadise.py:404-420,471-476); off in shipped configs
     mic: bool = False
@@ -83,6 +85,16 @@ class TrainConfig:
     # (mtmadise.py:228-238,533-547); 0 = off; requires
     # ``add_feature_distance_baseline`` having stored the init copies
     fd: float = 0.0
+    # feature distance on up-block cross-attention maps instead of taps
+    # (reference --FD_attention, main.py:545-548 + mtmadise.py:258-259,
+    # 533-546 — its ``atte_controller`` producer is never defined; here the
+    # maps come from the working attention-feature taps); 0 = off
+    fd_attention: float = 0.0
+    # teacher-student consistency on target attention maps.  The reference
+    # only *reads* this flag (cmdise.py:178) and never consumes it; here it
+    # is a working loss: MSE between the student's and the EMA teacher's
+    # res-averaged cross-attention maps on the target image
+    target_attention_loss: bool = False
     # noise regularization (mtmadise.py:446-463,522-528): student decoder
     # latent on strong-augmented target vs teacher-at-noise-t PL palette
     # latent.  NOTE: dead code in the reference — its criterion never
@@ -198,6 +210,8 @@ def build_train_config(cfg, mcfg: MADMConfig) -> TrainConfig:
         mic_reg_wo_pl_val=knob("mic_reg_wo_pl_val"),
         denoise_supervise=float(knob("denoise_supervise")),
         fd=float(knob("fd")),
+        fd_attention=float(knob("fd_attention") or 0.0),
+        target_attention_loss=bool(knob("target_attention_loss")),
         noise_reg=float(knob("noise_reg") or 0.0),
         pseudo_weight_scope=knob("pseudo_weight_scope"),
         mask_prompt_ratio=float(knob("mask_prompt_ratio") or 0.0),
@@ -222,6 +236,16 @@ def make_train_step(model: MADM, tc: TrainConfig, tx):
     # (cmdise.py:184)
     assert (bool(tc.mask_prompt_ratio) + bool(tc.prompt_perturbation)
             + bool(tc.mic)) <= 1, "mask_prompt/prompt_perturbation/mic are exclusive"
+    if mcfg.concat_attention_to_conv_seg:
+        # the concat slot is wired through the source/mixed/teacher passes;
+        # the aux-pass ablations never combine with it in the reference
+        assert not (tc.mic or tc.mask_prompt_ratio or tc.prompt_perturbation
+                    or tc.noise_reg or tc.prompt_confidence is not None), (
+            "concat_attention_to_conv_seg does not compose with the aux-pass "
+            "ablations (mic/mask_prompt/prompt_perturbation/noise_reg/"
+            "prompt_confidence) — their extra head calls are not wired for "
+            "the concat slot"
+        )
     if mcfg.slide_training and (
         tc.vae_decoder_loss or tc.mic_reg or tc.denoise_supervise
         or tc.noise_reg or tc.reg_uncertain
@@ -332,12 +356,16 @@ def make_train_step(model: MADM, tc: TrainConfig, tx):
             ema_forward=True,
             timesteps=jnp.broadcast_to(t_pl, (b,)),
             modality_mask=model.modality_mask(target, modality),
+            capture_attention=(
+                tc.target_attention_loss or mcfg.concat_attention_to_conv_seg
+            ),
         )
         # torch quirk kept: the EMA head is in train() mode during
         # pseudo-labeling, so dropout is active in the teacher too
         ema_logits, ema_bn = model.head_forward(
             base_vars, tch_out["output_features"], ema_forward=True,
             train=True, dropout_rng=k_drop3, update_bn=True,
+            cross_attention_feat=tch_out.get("cross_attention_feat"),
         )
         ema_logits = criterion._resize_logits(
             ema_logits.astype(jnp.float32), target.shape[1:3]
@@ -347,9 +375,10 @@ def make_train_step(model: MADM, tc: TrainConfig, tx):
         pseudo_label = ema_sm.argmax(axis=-1).astype(jnp.int32)
         pseudo_val = (pseudo_prob >= tc.pseudo_threshold).mean(axis=(1, 2))
         if tc.pseudo_weight_scope == "batch":
-            # the reference's per-rank scalar over the whole local batch
-            # (cmdise.py:498-502); under GSPMD the mean is global across the
-            # data axis (the one semantic difference vs per-rank, documented)
+            # one scalar over the whole batch; under GSPMD this mean is
+            # global across the data axis — NOT the reference's per-rank
+            # scalar (cmdise.py:498-502).  'sample' (the default) matches
+            # the reference at its shipped local batch of 1.
             pseudo_weight = jnp.broadcast_to(pseudo_val.mean(), pseudo_prob.shape)
         else:  # 'sample': per-sample confident fraction
             pseudo_weight = jnp.broadcast_to(
@@ -431,24 +460,36 @@ def make_train_step(model: MADM, tc: TrainConfig, tx):
             src_out = backbone(
                 variables, source, input_modal="rgb", lora_name=src_lora, train=True,
                 modality_mask=model.modality_mask(source, "rgb"),
+                capture_attention=(
+                    bool(tc.fd_attention) or mcfg.concat_attention_to_conv_seg
+                ),
             )
             src_logits, bn1 = model.head_forward(
                 variables, src_out["output_features"], train=True,
                 dropout_rng=k_drop1, update_bn=True,
+                cross_attention_feat=src_out.get("cross_attention_feat"),
             )
             losses = {"source_loss": criterion.cross_entropy(src_logits, gt)}
-            if tc.fd:
+            if tc.fd or tc.fd_attention:
+                # one feature_distance slot, fd takes priority — reference
+                # mtmadise.py:533-546: taps when fd, up-block cross-attn
+                # maps when fd_attention
                 ori_params = {**params, "unet": ts.consts["ori_unet"],
                               "prompt": ts.consts["ori_prompt"]}
                 ori_out = backbone(
                     {**variables, "params": ori_params}, source,
                     input_modal="rgb", lora_name=None,
                     modality_mask=model.modality_mask(source, "rgb"),
+                    capture_attention=bool(tc.fd_attention) and not tc.fd,
                 )
+                if tc.fd:
+                    feats, ori_feats = src_out["unet_taps"], ori_out["unet_taps"]
+                else:
+                    feats, ori_feats = src_out["up_cross"], ori_out["up_cross"]
                 losses["feature_distance_loss"] = criterion.feature_distance_loss(
-                    src_out["unet_taps"],
-                    [jax.lax.stop_gradient(t) for t in ori_out["unet_taps"]],
-                    tc.fd,
+                    feats,
+                    [jax.lax.stop_gradient(t) for t in ori_feats],
+                    tc.fd if tc.fd else tc.fd_attention,
                 )
             if "s" in tc.vae_decoder_loss:
                 losses["vae_decoder_source_loss"] = criterion.vae_decoder_loss(
@@ -466,10 +507,12 @@ def make_train_step(model: MADM, tc: TrainConfig, tx):
                 var1, mixed_img, input_modal="mixed", lora_name=tgt_lora, train=True,
                 modality_mask=model.mixed_modality_mask(mix_mask, modality),
                 latent_noise_rng=k_aln,
+                capture_attention=mcfg.concat_attention_to_conv_seg,
             )
             mix_logits, bn2 = model.head_forward(
                 var1, mix_out["output_features"], train=True,
                 dropout_rng=k_drop2, update_bn=True, use_sec_modal=True,
+                cross_attention_feat=mix_out.get("cross_attention_feat"),
             )
             losses = {
                 "target_loss": criterion.cross_entropy(
@@ -537,6 +580,24 @@ def make_train_step(model: MADM, tc: TrainConfig, tx):
                 )
                 losses["masked_prompt_consistency_loss"] = criterion.cross_entropy(
                     pp_logits, pseudo_label, pixel_weight=pseudo_weight
+                )
+            if tc.target_attention_loss:
+                # student cross-attn maps on the raw target vs the EMA
+                # teacher's (captured in the pseudo-label pass above);
+                # the reference reads the flag (cmdise.py:178) but ships no
+                # consumer — this is the working consistency loss
+                tal_out = backbone(
+                    var1, target, input_modal="others", lora_name=tgt_lora,
+                    train=True, capture_attention=True,
+                    modality_mask=model.modality_mask(target, modality),
+                )
+                s_maps = list(tal_out["attention_features"].values())
+                t_maps = [
+                    jax.lax.stop_gradient(v)
+                    for v in tch_out["attention_features"].values()
+                ]
+                losses["target_attention_loss"] = criterion.feature_distance_loss(
+                    s_maps, t_maps, 1.0
                 )
             if tc.denoise_supervise:
                 lo, hi = tc.denoise_timestep_range

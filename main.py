@@ -106,6 +106,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--prompt_seq_len", type=int, default=None)
     p.add_argument("--init_uncond_prompt", action="store_true")
     p.add_argument("--denoise_interval", type=int, default=None)
+    p.add_argument("--multi_layer_prompt", action="store_true",
+                   help="per-UNet-layer learnable prompts (ldm_base.py:649-651)")
+    p.add_argument("--target_attention_loss", action="store_true",
+                   help="teacher-student consistency on target cross-attn maps "
+                        "(reference flag main.py:762; vestigial there, working here)")
+    p.add_argument("--attention_select_index", type=int, default=None, nargs="+",
+                   help="token indices picked from the attention maps "
+                        "(reference main.py:764)")
+    p.add_argument("--FD_attention", type=float, default=None,
+                   help="feature distance on up-block cross-attn maps "
+                        "(reference main.py:545-548: also sets res={16,32}, "
+                        "location=['up'])")
     p.add_argument("--merge_with_pl_data", default=None,
                    help="mode or 'mode-val' (reference main.py:567-583)")
     p.add_argument("--pl_data_path", default=None)
@@ -244,6 +256,23 @@ def apply_cli_mutations(cfg, args):
         cfg.model.init_uncond_prompt = True
     if args.denoise_interval is not None:
         cfg.model.denoise_interval = args.denoise_interval
+    if args.multi_layer_prompt:
+        cfg.model.multi_layer_prompt = True
+    if args.target_attention_loss:
+        # consistency needs maps to exist; default to the FD_attention tap
+        # set when the config has none (reference main.py:503-504 only sets
+        # the flag — its producer is broken, see MADMConfig)
+        cfg.model.target_attention_loss = True
+        if not cfg.model.get("attention_features_res", None):
+            cfg.model.attention_features_res = [16, 32]
+            cfg.model.attention_features_location = ["up"]
+    if args.attention_select_index is not None:
+        cfg.model.attention_select_index = list(args.attention_select_index)
+    if args.FD_attention is not None:
+        # reference main.py:545-548
+        cfg.model.fd_attention = args.FD_attention
+        cfg.model.attention_features_res = [16, 32]
+        cfg.model.attention_features_location = ["up"]
     if args.merge_with_pl_data is not None:
         mode = args.merge_with_pl_data
         if "-" in mode:  # 'linear_mix-0.3' (reference cmdise.py:204-205)
@@ -457,7 +486,7 @@ def do_train(cfg, args):
     state, resumed = ckpt.resume_or_load(state, args.init_from, args.resume, model)
     start_iter = int(state.step)
 
-    if tc.fd:
+    if tc.fd or tc.fd_attention:
         # snapshot the init UNet/prompt as the feature-distance target
         # (reference ``ori_unet = deepcopy(...)``, cmdise.py:332-335)
         from madm_tpu.train.train_step import add_feature_distance_baseline

@@ -79,7 +79,7 @@ def test_reference_style_uda_overrides_reach_train_config():
         ["model.mic=True", "model.mask_ratio=0.5", "model.fd=0.25",
          "model.denoise_supervise=2.0", "model.pl_crop=True",
          "model.noise_reg=0.5", "model.MIC_reg_wo_pl_val=True",
-         "model.pseudo_weight_scope=sample"],
+         "model.pseudo_weight_scope=batch"],
     )
     model = instantiate(cfg.model)
     tc = build_train_config(cfg, model.cfg)
@@ -87,7 +87,7 @@ def test_reference_style_uda_overrides_reach_train_config():
     assert tc.fd == 0.25 and tc.denoise_supervise == 2.0
     assert tc.pl_crop is True and tc.noise_reg == 0.5
     assert tc.mic_reg_wo_pl_val is True
-    assert tc.pseudo_weight_scope == "sample"
+    assert tc.pseudo_weight_scope == "batch"
     # shipped values still present
     assert tc.rev_noise_sup is True and tc.rev_noise_end_iter == 5000
     assert tc.denoise_timestep_range == (60, 61)

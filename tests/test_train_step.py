@@ -91,7 +91,7 @@ def test_all_uda_options_produce_their_losses(setup):
     tc = TrainConfig(
         max_iter=10, rev_noise_end_iter=5,
         mic=True, mask_ratio=0.7, mic_reg=1.0, denoise_supervise=1.0,
-        fd=0.5, noise_reg=1.0, pl_crop=True, pseudo_weight_scope="sample",
+        fd=0.5, noise_reg=1.0, pl_crop=True, pseudo_weight_scope="batch",
     )
     trainable, _ = split_trainable({"params": state.params})
     tx = make_optimizer(trainable, max_iter=10)
