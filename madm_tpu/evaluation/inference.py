@@ -27,7 +27,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.daformer import resize_bilinear
 
 logger = logging.getLogger(__name__)
 
@@ -96,8 +95,7 @@ def make_slide_eval_fn(model, lora_name: Optional[str] = None,
         )["output_features"]
         # eval uses the target-modality head (mtmadise.py:685)
         logits = model.head_forward(variables, stitched, use_sec_modal=True)
-        logits = resize_bilinear(logits.astype(jnp.float32), (h, w))
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return model._ids_from_logits(logits, (h, w))
 
     return _jit_eval(eval_fn, mesh)
 

@@ -37,6 +37,22 @@ def resize_bilinear(x: jax.Array, size) -> jax.Array:
     )
 
 
+def argmax_classes(logits: jax.Array) -> jax.Array:
+    """First-index argmax over the trailing (class) dim, as simple reduces.
+
+    ``jnp.argmax`` lowers to a variadic (value, index) reduce that measured
+    ~3.5 ms/crop on the lane-padded [B, H, W, C] logits (pad_maximum +
+    iota_reduce fusions in the round-3 eval profile); max + first-match
+    min-of-iota uses two plain reduces that XLA fuses cleanly.  Ties return
+    the first maximal index — identical to jnp.argmax / torch ``.max``.
+    Exact for any dtype: comparison against the tensor's own max involves
+    no arithmetic, so bf16 logits argmax == fp32-cast logits argmax."""
+    c = logits.shape[-1]
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    iota = jax.lax.broadcasted_iota(jnp.int32, logits.shape, logits.ndim - 1)
+    return jnp.min(jnp.where(logits == m, iota, c), axis=-1).astype(jnp.int32)
+
+
 class ConvModule(nn.Module):
     """mmcv ConvModule: conv -> BN -> ReLU (bias off under norm)."""
 

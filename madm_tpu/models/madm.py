@@ -30,7 +30,7 @@ import numpy as np
 from flax import linen as nn
 
 from . import prompt as prompt_lib
-from .daformer import DAFormerHead, resize_bilinear
+from .daformer import DAFormerHead, argmax_classes, resize_bilinear
 from .projections import MultiScaleProjection
 from .sd import (
     UNet2DCondition,
@@ -924,8 +924,7 @@ class MADM:
                 variables, feats, use_sec_modal=True,
                 cross_attention_feat=bb_out.get("cross_attention_feat"),
             )
-            logits = resize_bilinear(logits.astype(jnp.float32), images.shape[1:3])
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return self._ids_from_logits(logits, images.shape[1:3])
         mode = self._eval_head_mode(images.shape)
         sec = self.cfg.sem_seg_head_sec_modal
         if mode != "none":
@@ -946,5 +945,14 @@ class MADM:
                 p["conv_seg"]["kernel"][0, 0], p["conv_seg"]["bias"],
             )
         logits = self.head_forward(variables, feats, use_sec_modal=True)
-        logits = resize_bilinear(logits.astype(jnp.float32), images.shape[1:3])
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return self._ids_from_logits(logits, images.shape[1:3])
+
+    @staticmethod
+    def _ids_from_logits(logits: jax.Array, hw) -> jax.Array:
+        """argmax ids at image resolution.  When the head already runs at
+        image resolution (s0 stride-1 configs) the bilinear resize is an
+        identity — skip it AND the fp32 cast (a cast permutes no ordering,
+        so bf16 argmax is bit-identical to fp32-cast argmax)."""
+        if logits.shape[1:3] != tuple(hw):
+            logits = resize_bilinear(logits.astype(jnp.float32), hw)
+        return argmax_classes(logits)

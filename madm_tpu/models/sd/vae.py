@@ -44,9 +44,16 @@ class VAEAttention(nn.Module):
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(x)
         v = nn.Dense(c, dtype=self.dtype, name="to_v")(x)
-        logits = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32)
-        probs = jax.nn.softmax(logits * (c ** -0.5), axis=-1).astype(x.dtype)
-        out = jnp.einsum("bqk,bkc->bqc", probs, v)
+        # single head as [B, S, 1, C]: the shared attention op (flash kernel
+        # on TPU) keeps the [S, S] fp32 scores in VMEM — the inline-einsum
+        # form materialized 537 MB of scores per 512x512 crop batch and its
+        # softmax lowered to VPU loop fusions (measured ~6.6 ms/crop, the
+        # single largest op in the round-2 eval profile)
+        from ...ops.attention import dot_product_attention
+
+        out = dot_product_attention(
+            q[:, :, None, :], k[:, :, None, :], v[:, :, None, :]
+        )[:, :, 0, :]
         out = nn.Dense(c, dtype=self.dtype, name="to_out_0")(out)
         return out.reshape(b, h, w, c) + residual
 

@@ -29,33 +29,44 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
+    # VPU economy: the scale folds into the fused (s - m) * scale -> exp
+    # pass (exact in fp32, zero extra passes; exp(scale*(s-m)) ==
+    # softmax-of-scaled-scores since scale > 0), and the softmax
+    # normalizer divides the [bq, D] PV output instead of the [bq, Sk]
+    # scores — saving a full VPU pass over the score matrix, the dominant
+    # non-MXU cost at S=4096.
     q = q_ref[0, 0, :, :]  # [bq, D]
     k = k_ref[0, 0, :, :]  # [Sk_pad, D]
     v = v_ref[0, 0, :, :]
 
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [bq, Sk_pad] fp32
-    scores = scores * scale
+    )  # [bq, Sk_pad] fp32, unscaled
     sk_pad = k.shape[0]
     if kv_len < sk_pad:  # static: mask the wrapper's padding keys
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         scores = jnp.where(col < kv_len, scores, -jnp.inf)
 
     m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores - m)
-    probs = e / jnp.sum(e, axis=-1, keepdims=True)
+    e = jnp.exp((scores - m) * scale)
+    denom = jnp.sum(e, axis=-1, keepdims=True)  # [bq, 1] fp32
 
     out = jax.lax.dot_general(
-        probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    ) / denom
     o_ref[0, 0, :, :] = out.astype(o_ref.dtype)
 
 
 def _pick_bq(sq: int, sk_pad: int, d: int, itemsize: int) -> int:
-    """Largest q block keeping scores + tiles well under the VMEM budget."""
-    budget = 8 * 1024 * 1024  # leave headroom of ~half of VMEM
+    """Largest q block keeping scores + tiles well under the VMEM budget.
+
+    Two limits: the per-step scores workspace stays under ~half of VMEM
+    (8 MB — pipelining headroom), and the whole residency incl. the K/V
+    tiles under ~13 MB of the 16 MB VMEM.  The K/V cap matters for the
+    VAE's single-head D=512 attention, where K/V alone are 8.4 MB."""
+    total_budget = 13 * 1024 * 1024
+    scores_budget = 8 * 1024 * 1024
     kv_bytes = 2 * sk_pad * d * itemsize
     for bq in (1024, 512, 256, 128, 64, 32, 16, 8):
         if bq > sq:
@@ -64,7 +75,9 @@ def _pick_bq(sq: int, sk_pad: int, d: int, itemsize: int) -> int:
             continue
         scores_bytes = bq * sk_pad * 4 * 2  # scores + exp intermediates
         q_bytes = 2 * bq * d * itemsize
-        if kv_bytes + scores_bytes + q_bytes < budget:
+        if scores_bytes < scores_budget and (
+            kv_bytes + scores_bytes + q_bytes < total_budget
+        ):
             return bq
     return min(8, sq)
 

@@ -192,3 +192,22 @@ def test_evaluator_miou():
     perfect = np.where(gt == 255, 0, gt)
     ev.process({"target_label": gt}, perfect)
     assert ev.evaluate(sum_across_processes=False)["sem_seg"]["mIoU"] == 100.0
+
+
+# ------------------------------------------------------------ argmax helper
+def test_argmax_classes_matches_jnp_argmax():
+    """max+min-of-iota argmax (the eval hot path's simple-reduce form) must
+    be bit-identical to jnp.argmax — including ties (first index) and bf16
+    inputs (casting changes no ordering)."""
+    import jax.numpy as jnp
+
+    from madm_tpu.models.daformer import argmax_classes
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 5, 7, 11).astype(np.float32)
+    # force ties: duplicate the max into an earlier channel for some pixels
+    x[0, :, :, 3] = x[0].max(-1)
+    for arr in (jnp.asarray(x), jnp.asarray(x, jnp.bfloat16)):
+        got = argmax_classes(arr)
+        want = jnp.argmax(arr, axis=-1).astype(jnp.int32)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
