@@ -30,6 +30,18 @@ BASELINE_CROPS_PER_SEC_PER_CHIP = 12.5  # estimated A100 batch-1 eager rate
 
 
 def main():
+    # persistent compilation cache (shared with __graft_entry__): the fused
+    # ASPP head's Mosaic compile is minutes cold — prewarmed during the
+    # round, the driver's bench run loads the cached executable in seconds
+    try:
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
+
     from madm_tpu.models.madm import MADM, MADMConfig
     from madm_tpu.ops.attention import set_default_attention_impl
 
@@ -57,7 +69,10 @@ def main():
 
     best = 0.0
     best_bs = 0
-    for bs in (1, 4, 8, 12):
+    sweep = tuple(
+        int(s) for s in os.environ.get("MADM_BENCH_BS", "1,4,8,12").split(",")
+    )
+    for bs in sweep:
         try:
             images = jnp.zeros((bs, 512, 512, 3), jnp.float32)
             float(eval_fn(variables, images))  # compile + warmup (fetch syncs)

@@ -860,17 +860,22 @@ class MADM:
           (``ops.aspp.fused_head_forward``) — reads the concat once per
           branch via the Pallas depthwise kernel; wins at batch 1 where
           XLA's depthwise layout wastes 7/8 sublanes.
-        - 'none' (default): plain argmax(eval_forward).  Measured on v5e at
-          batch 8 (see CLAUDE.md): XLA's fully-fused module head (its
-          bottleneck+conv_seg convolution fusion and batch-in-sublanes
-          depthwise layout) beats both Pallas variants — 16.9 crops/s vs
-          15.9 ('argmax') and OOM/15.5 ('full'), so the kernels stay
-          opt-in experiments.
+        - 'aspp' (default on TPU, ``MADM_FUSED_HEAD=aspp``): module embeds +
+          the ``ops.aspp.aspp_fused`` kernel — the whole sep-ASPP fuse layer
+          in one Pallas pass (the 1024-ch embed concat, its layout copy and
+          the three 4.3 GB depthwise outputs never reach HBM), then the XLA
+          bottleneck+conv_seg convolution fusion and ``argmax_classes``.
+          Measured r3 on v5e bs 8: 20.4 crops/s vs 17.4 ('none').
+        - 'none' (``MADM_FUSED_HEAD=0``): plain argmax(eval_forward) — the
+          XLA module head end to end.
+        Round-2 measurements (16.9 'none' > 15.9 'argmax' > 15.5/'OOM'
+        'full') predate ``aspp_fused``; 'argmax'/'full' remain opt-in
+        experiments.
         """
         import os
 
-        knob = os.environ.get("MADM_FUSED_HEAD", "0")
-        if knob in ("0", "auto") or jax.default_backend() == "cpu":
+        knob = os.environ.get("MADM_FUSED_HEAD", "auto")
+        if knob == "0" or jax.default_backend() == "cpu":
             return "none"
         cfg = self.cfg
         shapes_ok = (
@@ -883,6 +888,16 @@ class MADM:
             and image_shape[2] % 128 == 0
         )
         if not shapes_ok:
+            return "none"
+        if knob in ("auto", "aspp"):
+            # aspp_fused constraints: 4x256-ch embeds, dilations 1/6/12/18
+            if (
+                tuple(self.head.dilations) == (1, 6, 12, 18)
+                and self.head.embed_dims == 256
+                and cfg.head_channels == 256
+                and image_shape[1] % 8 == 0
+            ):
+                return "aspp"
             return "none"
         if knob in ("1", "full") and (
             tuple(self.head.dilations) == (1, 6, 12, 18)
@@ -932,6 +947,11 @@ class MADM:
 
             p = variables["params"]["head_sec" if sec else "head"]
             bn = variables["state"]["head_sec_bn" if sec else "head_bn"]
+            if mode == "aspp":
+                return aspp.aspp_head_forward(
+                    p, bn, feats, self.cfg.in_keys, self.cfg.num_classes,
+                    compute_dtype=self.cfg.compute_dtype,
+                )
             if mode == "full":
                 return aspp.fused_head_forward(
                     p, bn, feats, self.cfg.in_keys, self.cfg.num_classes,

@@ -165,7 +165,7 @@ def dw_branches(
         for _ in dilations
     ]
     in_specs = (
-        [pl.BlockSpec(memory_space=pltpu.ANY) for _ in embeds]
+        [pl.BlockSpec(memory_space=pl.ANY) for _ in embeds]
         + [
             pl.BlockSpec((len(dilations), 3, 3, CB),
                          lambda bi, ct, t: (0, 0, 0, ct),
@@ -200,6 +200,199 @@ def dw_branches(
         ),
         interpret=interpret,
     )(*embeds, dw_w, scale, bias)
+
+
+# ------------------------------------------- fused DW+PW ASPP branches
+def _aspp_fused_kernel(*refs, dilations: Tuple[int, ...], h: int, w: int,
+                       n_embeds: int, tiles_per: int, pc: int, dtype):
+    """One grid step computes R output rows of the WHOLE sep-ASPP fuse
+    layer: aspp_0 (1x1+BN+ReLU) and every dilated branch's
+    depthwise(3x3,d)+BN+ReLU -> pointwise(1x1)+BN+ReLU — with the
+    depthwise outputs living only in VMEM.  The XLA head writes/rereads
+    each 4.3 GB DW output and the channel concat (~35 GB of HBM traffic
+    per batch-8 iter); here each embed row is read exactly once.
+
+    refs: [e0..e{n-1}, dw_w, dw_s, dw_b, pw_w, pw_s, pw_b, a0_w, a0_s,
+    a0_b, out, ring, sems].
+    """
+    embeds = refs[:n_embeds]
+    dw_w, dw_s, dw_b, pw_w, pw_s, pw_b, a0_w, a0_s, a0_b = refs[
+        n_embeds : n_embeds + 9
+    ]
+    out_ref, ring, sems = refs[-3:]
+
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    nblocks = pl.num_programs(1)
+    c = ring.shape[-1]
+    nct = c // CB
+    ec = c // n_embeds
+
+    def start_dma(block):
+        slot = block % NSLOTS
+        for e in range(n_embeds):
+            @pl.when((block >= 0) & (block < nblocks))
+            def _():
+                pltpu.make_async_copy(
+                    embeds[e].at[b, pl.ds(block * R, R), :, :],
+                    ring.at[slot, :, :, pl.ds(e * ec, ec)],
+                    sems.at[slot, e],
+                ).start()
+
+    def wait_dma(block):
+        for e in range(n_embeds):
+            @pl.when((block >= 0) & (block < nblocks))
+            def _():
+                pltpu.make_async_copy(
+                    ring.at[block % NSLOTS, :, :, pl.ds(e * ec, ec)],
+                    ring.at[block % NSLOTS, :, :, pl.ds(e * ec, ec)],
+                    sems.at[block % NSLOTS, e],
+                ).wait()
+
+    @pl.when(t == 0)
+    def _prologue():
+        for blk in range(5):  # blocks 0..3 needed by t=0; 4 is lookahead
+            start_dma(blk)
+
+    @pl.when(t > 0)
+    def _steady():
+        start_dma(t + 4)
+
+    @pl.when(t == 0)
+    def _wait0():
+        for blk in range(4):
+            wait_dma(blk)
+
+    @pl.when(t > 0)
+    def _waitn():
+        wait_dma(t + 3)
+
+    def rows_at(offset: int, ct: int):
+        """[R, w, CB] rows (t*R + j + offset) of channel tile ct, zero
+        outside the image (conv zero padding).  Stays in the embed dtype."""
+        r0 = t * R + offset
+        om = offset % R  # static
+        blk0 = (t * R + offset) // R  # traced
+        cs = slice(ct * CB, (ct + 1) * CB)
+        if om == 0:
+            rows = ring[pl.ds(blk0 % NSLOTS, 1), :, :, cs][0]
+        else:
+            a = ring[pl.ds(blk0 % NSLOTS, 1), :, :, cs][0][om:, :, :]
+            bpart = ring[pl.ds((blk0 + 1) % NSLOTS, 1), :, :, cs][0][:om, :, :]
+            rows = jnp.concatenate([a, bpart], axis=0)
+        if offset == 0:
+            return rows  # always fully inside: 0 <= t*R, t*R+R <= h
+        ids = jax.lax.broadcasted_iota(jnp.int32, (R, 1, 1), 0) + r0
+        valid = (ids >= 0) & (ids < h)
+        return jnp.where(valid, rows, jnp.zeros_like(rows))
+
+    # ---- aspp_0: pointwise over the concat, accumulated per channel tile
+    psum = jnp.zeros((R * w, pc), jnp.float32)
+    for ct in range(nct):
+        rows = rows_at(0, ct)
+        psum = psum + jax.lax.dot_general(
+            rows.reshape(R * w, CB), a0_w[ct * CB : (ct + 1) * CB, :],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+    y = jnp.maximum(psum * a0_s[:][None, :] + a0_b[:][None, :], 0.0)
+    out_ref[0, :, :, 0:pc] = y.reshape(R, w, pc).astype(dtype)
+
+    # ---- dilated branches: DW+BN+ReLU in VMEM, PW accumulated per tile
+    for di, d in enumerate(dilations):
+        psum = jnp.zeros((R * w, pc), jnp.float32)
+        for ct in range(nct):
+            acc = jnp.zeros((R, w, CB), jnp.float32)
+            for ky in (-1, 0, 1):
+                rows = rows_at(ky * d, ct)
+                for kx in (-1, 0, 1):
+                    wgt = dw_w[di, ky + 1, kx + 1, ct * CB : (ct + 1) * CB]
+                    if kx == -1:  # out[:, x] += w * in[:, x - d]
+                        sh = jnp.pad(rows[:, : w - d, :], ((0, 0), (d, 0), (0, 0)))
+                    elif kx == 1:
+                        sh = jnp.pad(rows[:, d:, :], ((0, 0), (0, d), (0, 0)))
+                    else:
+                        sh = rows
+                    acc = acc + sh.astype(jnp.float32) * wgt[None, None, :]
+            acc = jnp.maximum(
+                acc * dw_s[di, ct * CB : (ct + 1) * CB][None, None, :]
+                + dw_b[di, ct * CB : (ct + 1) * CB][None, None, :], 0.0,
+            )
+            psum = psum + jax.lax.dot_general(
+                acc.astype(dtype).reshape(R * w, CB),
+                pw_w[di, ct * CB : (ct + 1) * CB, :],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+        y = jnp.maximum(psum * pw_s[di, :][None, :] + pw_b[di, :][None, :], 0.0)
+        o0 = (di + 1) * pc
+        out_ref[0, :, :, o0 : o0 + pc] = y.reshape(R, w, pc).astype(dtype)
+
+
+def aspp_fused(
+    embeds: Sequence[jax.Array],  # each [B, H, W, ec], same resolution
+    dw_w: jax.Array,  # [n_dil, 3, 3, C] f32 depthwise kernels
+    dw_s: jax.Array,  # [n_dil, C] folded-BN scale (depthwise)
+    dw_b: jax.Array,  # [n_dil, C]
+    pw_w: jax.Array,  # [n_dil, C, PC] pointwise kernels
+    pw_s: jax.Array,  # [n_dil, PC] folded-BN scale (pointwise)
+    pw_b: jax.Array,  # [n_dil, PC]
+    a0_w: jax.Array,  # [C, PC] aspp_0 1x1 kernel
+    a0_s: jax.Array,  # [PC]
+    a0_b: jax.Array,  # [PC]
+    dilations: Tuple[int, ...] = (6, 12, 18),
+    interpret: bool = False,
+) -> jax.Array:
+    """The whole separable-ASPP fuse layer (eval BN) in one Pallas pass.
+
+    Returns the branch concat [B, H, W, (1+n_dil)*PC] in branch order
+    (aspp_0, then one 256-ch block per dilation) — exactly the
+    ``jnp.concatenate(outs)`` the bottleneck conv consumes in
+    ``ASPPWrapper`` (models/daformer.py:113; reference
+    ``daformer_head.py:455-479``).  The 1024-ch embed concat and the three
+    4.3 GB depthwise outputs are never materialized in HBM."""
+    n = len(embeds)
+    b, h, w, ec = embeds[0].shape
+    c = ec * n
+    pc = pw_w.shape[-1]
+    assert ec % CB == 0 and c == dw_w.shape[-1], (ec, c, dw_w.shape)
+    assert h % R == 0 and max(dilations) * 2 + R <= NSLOTS * R
+    dtype = embeds[0].dtype
+    grid = (b, h // R)
+
+    kernel = functools.partial(
+        _aspp_fused_kernel, dilations=tuple(dilations), h=h, w=w,
+        n_embeds=n, tiles_per=ec // CB, pc=pc, dtype=dtype,
+    )
+    n_dil = len(dilations)
+    in_specs = (
+        [pl.BlockSpec(memory_space=pl.ANY) for _ in embeds]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9
+    )
+    oc = (n_dil + 1) * pc
+    flops = (n_dil * 9 * 2 + (n_dil + 1) * 2 * pc) * b * h * w * c
+    bytes_accessed = (
+        sum(e.size * e.dtype.itemsize for e in embeds)
+        + b * h * w * oc * np.dtype(dtype).itemsize
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, R, w, oc), lambda bi, t: (bi, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, oc), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((NSLOTS, R, w, c), dtype),
+            pltpu.SemaphoreType.DMA((NSLOTS, n)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=interpret,
+    )(*embeds, dw_w, dw_s, dw_b, pw_w, pw_s, pw_b, a0_w, a0_s, a0_b)
 
 
 # --------------------------------------------------------------- argmax head
@@ -382,3 +575,93 @@ def fused_head_forward(
         y.astype(compute_dtype), cs["kernel"][0, 0], cs["bias"],
         interpret=interpret,
     )
+
+
+def aspp_head_forward(
+    head_params: Dict,
+    head_bn: Dict,
+    features: Dict[str, jax.Array],
+    in_keys: Sequence[str],
+    num_classes: int,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """Eval DAFormer head with the whole sep-ASPP fuse layer in ONE Pallas
+    pass (``aspp_fused``), returning argmax ids [B, H, W].
+
+    Pipeline: per-scale Dense embeds + bilinear upsample (XLA) ->
+    ``aspp_fused`` (aspp_0 + the three DW+BN+ReLU+PW branches; the 1024-ch
+    embed concat, its batch-in-sublanes layout copy and the three 4.3 GB
+    depthwise outputs never reach HBM) -> bottleneck 3x3 conv + conv_seg
+    (one XLA convolution fusion, MXU at roofline) -> ``argmax_classes``.
+
+    Numerics match ``DAFormerHead.__call__`` with running-average BN (same
+    param tree; BN folded to per-channel scale/bias in fp32)."""
+    from ..models.daformer import argmax_classes, resize_bilinear
+
+    fuse_p = head_params["fuse_layer"]
+    fuse_bn = head_bn["fuse_layer"]
+    xs = [features[k] for k in in_keys]
+    os_size = xs[0].shape[1:3]
+    b = xs[0].shape[0]
+    h, w = os_size
+
+    embeds = []
+    for i, x in enumerate(xs):
+        p = head_params[f"embed_{i}"]
+        e = (x.astype(compute_dtype) @ p["kernel"].astype(compute_dtype)
+             + p["bias"].astype(compute_dtype))
+        embeds.append(resize_bilinear(e, os_size))
+
+    dil = (6, 12, 18)
+    s_a0, b_a0 = _fold_bn(fuse_p["aspp_0"]["bn"], fuse_bn["aspp_0"]["bn"])
+    dw_w, dw_s, dw_b, pw_w, pw_s, pw_b = [], [], [], [], [], []
+    for n in ("aspp_1", "aspp_2", "aspp_3"):
+        dwc = fuse_p[n]["depthwise_conv"]
+        s_dw, b_dw = _fold_bn(dwc["bn"], fuse_bn[n]["depthwise_conv"]["bn"])
+        dw_w.append(dwc["conv"]["kernel"][:, :, 0, :])  # [3,3,C]
+        dw_s.append(s_dw)
+        dw_b.append(b_dw)
+        pwc = fuse_p[n]["pointwise_conv"]
+        s_pw, b_pw = _fold_bn(pwc["bn"], fuse_bn[n]["pointwise_conv"]["bn"])
+        pw_w.append(pwc["conv"]["kernel"][0, 0])  # [C, 256]
+        pw_s.append(s_pw)
+        pw_b.append(b_pw)
+
+    fused = aspp_fused(
+        embeds,
+        jnp.stack(dw_w).astype(jnp.float32),
+        jnp.stack(dw_s).astype(jnp.float32),
+        jnp.stack(dw_b).astype(jnp.float32),
+        jnp.stack(pw_w).astype(compute_dtype),
+        jnp.stack(pw_s).astype(jnp.float32),
+        jnp.stack(pw_b).astype(jnp.float32),
+        fuse_p["aspp_0"]["conv"]["kernel"][0, 0].astype(compute_dtype),
+        s_a0.astype(jnp.float32),
+        b_a0.astype(jnp.float32),
+        dil,
+        interpret=interpret,
+    )
+
+    bk = fuse_p["bottleneck"]
+    s_bk, b_bk = _fold_bn(bk["bn"], fuse_bn["bottleneck"]["bn"])
+    y = jax.lax.conv_general_dilated(
+        fused, bk["conv"]["kernel"].astype(compute_dtype),
+        window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=compute_dtype,
+    )
+    y = jnp.maximum(
+        y * s_bk.astype(compute_dtype) + b_bk.astype(compute_dtype), 0
+    )
+    cs = head_params["conv_seg"]
+    logits = (
+        jax.lax.conv_general_dilated(
+            y, cs["kernel"].astype(compute_dtype),
+            window_strides=(1, 1), padding=((0, 0), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=compute_dtype,
+        )
+        + cs["bias"].astype(compute_dtype)
+    )
+    return argmax_classes(logits)

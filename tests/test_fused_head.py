@@ -168,3 +168,66 @@ def test_clip_state_prefix_conditioning():
     assert "clip_vision" in v2["ema"]  # teacher copy exists
     trainable2, _ = split_trainable(v2, learnable_clip=True)
     assert "clip_vision" in trainable2
+
+
+def test_aspp_fused_matches_module_composition():
+    """aspp_fused (DW+BN+ReLU+PW+BN+ReLU per branch + aspp_0, one pallas
+    pass) vs the same math composed from XLA ops."""
+    from madm_tpu.ops.aspp import aspp_fused
+
+    rng = np.random.default_rng(3)
+    B, H, W = 1, 64, 128
+    dil = (6, 12, 18)
+    PC = 256
+    embeds = [jnp.asarray(rng.normal(size=(B, H, W, 128)).astype(np.float32))
+              for _ in range(2)]
+    C = 256
+    x = jnp.concatenate(embeds, -1)
+    f = lambda *shape: jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    dw_w, dw_s, dw_b = f(3, 3, 3, C), f(3, C), f(3, C)
+    pw_w, pw_s, pw_b = f(3, C, PC), f(3, PC), f(3, PC)
+    a0_w, a0_s, a0_b = f(C, PC), f(PC), f(PC)
+
+    out = aspp_fused(embeds, dw_w, dw_s, dw_b, pw_w, pw_s, pw_b,
+                     a0_w, a0_s, a0_b, dil, interpret=True)
+    assert out.shape == (B, H, W, (len(dil) + 1) * PC)
+
+    ref0 = jnp.maximum((x @ a0_w) * a0_s + a0_b, 0.0)
+    np.testing.assert_allclose(np.asarray(out[..., :PC]), np.asarray(ref0),
+                               atol=2e-3)
+    for di, d in enumerate(dil):
+        dwo = jax.lax.conv_general_dilated(
+            x, dw_w[di][:, :, None, :], (1, 1), ((d, d), (d, d)),
+            rhs_dilation=(d, d), feature_group_count=C,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        dwo = jnp.maximum(dwo * dw_s[di] + dw_b[di], 0.0)
+        ref = jnp.maximum((dwo @ pw_w[di]) * pw_s[di] + pw_b[di], 0.0)
+        np.testing.assert_allclose(
+            np.asarray(out[..., (di + 1) * PC : (di + 2) * PC]),
+            np.asarray(ref), atol=5e-3,
+        )
+
+
+def test_aspp_head_forward_matches_flax_head():
+    """'aspp' eval mode: module embeds + aspp_fused + XLA bottleneck/conv_seg
+    must reproduce the Flax head's argmax ids."""
+    from madm_tpu.ops.aspp import aspp_head_forward
+
+    rng = np.random.default_rng(4)
+    feats = {
+        "s0": jnp.asarray(rng.normal(size=(1, 64, 128, 32)).astype(np.float32)),
+        "s3": jnp.asarray(rng.normal(size=(1, 8, 16, 48)).astype(np.float32)),
+        "s4": jnp.asarray(rng.normal(size=(1, 4, 8, 64)).astype(np.float32)),
+        "s5": jnp.asarray(rng.normal(size=(1, 2, 4, 80)).astype(np.float32)),
+    }
+    head = DAFormerHead(in_keys=("s0", "s3", "s4", "s5"), num_classes=11,
+                        dtype=jnp.float32)
+    variables = head.init(jax.random.PRNGKey(0), feats)
+    params, bn = variables["params"], _jitter(variables["batch_stats"])
+    logits = head.apply({"params": params, "batch_stats": bn}, feats, train=False)
+    ref_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    ids = aspp_head_forward(params, bn, feats, ("s0", "s3", "s4", "s5"), 11,
+                            compute_dtype=jnp.float32, interpret=True)
+    match = float((ids == ref_ids).mean())
+    assert match > 0.999, match
