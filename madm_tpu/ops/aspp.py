@@ -37,6 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 R = 8  # output rows per grid step
 CB = 128  # channel tile
 NSLOTS = 8  # ring slots: blocks t-3..t+4 stay live for dilation 18
+_APAD = 24  # aspp_fused zero-pad rows (top+bottom): dilation<=18 -> 3 blocks
 
 
 def _dw_kernel(*refs, dilations: Tuple[int, ...], h: int, w: int,
@@ -212,79 +213,116 @@ def _aspp_fused_kernel(*refs, dilations: Tuple[int, ...], h: int, w: int,
     each 4.3 GB DW output and the channel concat (~35 GB of HBM traffic
     per batch-8 iter); here each embed row is read exactly once.
 
-    refs: [e0..e{n-1}, dw_w, dw_s, dw_b, pw_w, pw_s, pw_b, a0_w, a0_s,
-    a0_b, out, ring, sems].
+    refs: [e0..e{n-1}, zrows, dw_w, dw_s, dw_b, pw_w, pw_s, pw_b, a0_w,
+    a0_s, a0_b, out, ring, sems].
+
+    Boundary handling: block indices run in a virtual ``_APAD``-row-padded
+    space; ring slots whose block falls outside the image are DMA'd from
+    the small HBM ``zrows`` zero buffer.  The compute path then never
+    bounds-checks, the ring is only ever DMA-written (a VMEM zero-store
+    variant loses ~2% — the vector stores serialize against the DMA
+    pipeline), and unlike an HBM ``jnp.pad`` of the embeds (which costs
+    ~10 ms/iter of un-fusable pad copies in the real graph) the extra HBM
+    traffic is 6 zero blocks per batch row.
+
+    Interleaved same-session A/B at B=8 512x512 (chip-state drifts ~15%
+    across sessions, so only interleaved numbers are comparable): masked
+    boundary 74.4 ms/iter -> zero-DMA 73.5 -> zero-DMA + column-sum DW
+    restructure (below) 59.5.
     """
     embeds = refs[:n_embeds]
+    zrows = refs[n_embeds]
     dw_w, dw_s, dw_b, pw_w, pw_s, pw_b, a0_w, a0_s, a0_b = refs[
-        n_embeds : n_embeds + 9
+        n_embeds + 1 : n_embeds + 10
     ]
     out_ref, ring, sems = refs[-3:]
 
     b = pl.program_id(0)
     t = pl.program_id(1)
-    nblocks = pl.num_programs(1)
     c = ring.shape[-1]
     nct = c // CB
     ec = c // n_embeds
 
-    def start_dma(block):
-        slot = block % NSLOTS
+    npad = _APAD // R  # 3 pad blocks each side (virtual)
+    nib = h // R  # image blocks
+    # output block t needs padded-space blocks t..t+6 (offsets -18..+25
+    # shifted by _APAD); slot 8 holds the t+7 lookahead
+    n_in_blocks = nib + 2 * npad  # static
+
+    def start_image_dma(block, e):
+        pltpu.make_async_copy(
+            embeds[e].at[b, pl.ds((block - npad) * R, R), :, :],
+            ring.at[block % NSLOTS, :, :, pl.ds(e * ec, ec)],
+            sems.at[block % NSLOTS, e],
+        ).start()
+
+    def start_zero_dma(block, e):
+        pltpu.make_async_copy(
+            zrows,
+            ring.at[block % NSLOTS, :, :, pl.ds(e * ec, ec)],
+            sems.at[block % NSLOTS, e],
+        ).start()
+
+    def start_dma(block):  # block indexes the virtual padded row space
+        """Fill the slot: image rows when in-bounds, zeros otherwise.
+        Either way exactly one DMA signals sems[slot, e] — waits are
+        unconditional."""
+        if isinstance(block, int):  # prologue: static choice
+            for e in range(n_embeds):
+                if npad <= block < npad + nib:
+                    start_image_dma(block, e)
+                else:
+                    start_zero_dma(block, e)
+            return
+        valid = (block >= npad) & (block < npad + nib)
         for e in range(n_embeds):
-            @pl.when((block >= 0) & (block < nblocks))
+            @pl.when(valid)
             def _():
-                pltpu.make_async_copy(
-                    embeds[e].at[b, pl.ds(block * R, R), :, :],
-                    ring.at[slot, :, :, pl.ds(e * ec, ec)],
-                    sems.at[slot, e],
-                ).start()
+                start_image_dma(block, e)
+
+            @pl.when(jnp.logical_not(valid))
+            def _():
+                start_zero_dma(block, e)
 
     def wait_dma(block):
         for e in range(n_embeds):
-            @pl.when((block >= 0) & (block < nblocks))
-            def _():
-                pltpu.make_async_copy(
-                    ring.at[block % NSLOTS, :, :, pl.ds(e * ec, ec)],
-                    ring.at[block % NSLOTS, :, :, pl.ds(e * ec, ec)],
-                    sems.at[block % NSLOTS, e],
-                ).wait()
+            pltpu.make_async_copy(
+                ring.at[block % NSLOTS, :, :, pl.ds(e * ec, ec)],
+                ring.at[block % NSLOTS, :, :, pl.ds(e * ec, ec)],
+                sems.at[block % NSLOTS, e],
+            ).wait()
 
     @pl.when(t == 0)
     def _prologue():
-        for blk in range(5):  # blocks 0..3 needed by t=0; 4 is lookahead
+        for blk in range(min(NSLOTS, n_in_blocks)):  # static blocks
             start_dma(blk)
 
     @pl.when(t > 0)
     def _steady():
-        start_dma(t + 4)
+        @pl.when(t + 7 < n_in_blocks)
+        def _():
+            start_dma(t + 7)
 
     @pl.when(t == 0)
     def _wait0():
-        for blk in range(4):
+        for blk in range(min(NSLOTS - 1, n_in_blocks)):
             wait_dma(blk)
 
     @pl.when(t > 0)
     def _waitn():
-        wait_dma(t + 3)
+        wait_dma(t + 6)
 
     def rows_at(offset: int, ct: int):
-        """[R, w, CB] rows (t*R + j + offset) of channel tile ct, zero
-        outside the image (conv zero padding).  Stays in the embed dtype."""
-        r0 = t * R + offset
-        om = offset % R  # static
-        blk0 = (t * R + offset) // R  # traced
+        """[R, w, CB] padded-space rows (t*R + j + offset + _APAD) of
+        channel tile ct — always in-bounds, no masking."""
+        om = offset % R  # static (_APAD % R == 0)
+        blk0 = t + (offset + _APAD) // R  # traced
         cs = slice(ct * CB, (ct + 1) * CB)
         if om == 0:
-            rows = ring[pl.ds(blk0 % NSLOTS, 1), :, :, cs][0]
-        else:
-            a = ring[pl.ds(blk0 % NSLOTS, 1), :, :, cs][0][om:, :, :]
-            bpart = ring[pl.ds((blk0 + 1) % NSLOTS, 1), :, :, cs][0][:om, :, :]
-            rows = jnp.concatenate([a, bpart], axis=0)
-        if offset == 0:
-            return rows  # always fully inside: 0 <= t*R, t*R+R <= h
-        ids = jax.lax.broadcasted_iota(jnp.int32, (R, 1, 1), 0) + r0
-        valid = (ids >= 0) & (ids < h)
-        return jnp.where(valid, rows, jnp.zeros_like(rows))
+            return ring[pl.ds(blk0 % NSLOTS, 1), :, :, cs][0]
+        a = ring[pl.ds(blk0 % NSLOTS, 1), :, :, cs][0][om:, :, :]
+        bpart = ring[pl.ds((blk0 + 1) % NSLOTS, 1), :, :, cs][0][:om, :, :]
+        return jnp.concatenate([a, bpart], axis=0)
 
     # ---- aspp_0: pointwise over the concat, accumulated per channel tile
     psum = jnp.zeros((R * w, pc), jnp.float32)
@@ -301,18 +339,22 @@ def _aspp_fused_kernel(*refs, dilations: Tuple[int, ...], h: int, w: int,
     for di, d in enumerate(dilations):
         psum = jnp.zeros((R * w, pc), jnp.float32)
         for ct in range(nct):
-            acc = jnp.zeros((R, w, CB), jnp.float32)
-            for ky in (-1, 0, 1):
-                rows = rows_at(ky * d, ct)
-                for kx in (-1, 0, 1):
+            # column sums first: acc = sum_kx shift_kx(sum_ky w[ky,kx]*rows_ky)
+            # — 2 shift passes instead of 6 (the 9 FMAs are unavoidable)
+            rows3 = [rows_at(ky * d, ct).astype(jnp.float32)
+                     for ky in (-1, 0, 1)]
+            cols = []
+            for kx in (-1, 0, 1):
+                cs_ = jnp.zeros((R, w, CB), jnp.float32)
+                for ky in (-1, 0, 1):
                     wgt = dw_w[di, ky + 1, kx + 1, ct * CB : (ct + 1) * CB]
-                    if kx == -1:  # out[:, x] += w * in[:, x - d]
-                        sh = jnp.pad(rows[:, : w - d, :], ((0, 0), (d, 0), (0, 0)))
-                    elif kx == 1:
-                        sh = jnp.pad(rows[:, d:, :], ((0, 0), (0, d), (0, 0)))
-                    else:
-                        sh = rows
-                    acc = acc + sh.astype(jnp.float32) * wgt[None, None, :]
+                    cs_ = cs_ + rows3[ky + 1] * wgt[None, None, :]
+                cols.append(cs_)
+            acc = (
+                jnp.pad(cols[0][:, : w - d, :], ((0, 0), (d, 0), (0, 0)))
+                + cols[1]
+                + jnp.pad(cols[2][:, d:, :], ((0, 0), (0, d), (0, 0)))
+            )
             acc = jnp.maximum(
                 acc * dw_s[di, ct * CB : (ct + 1) * CB][None, None, :]
                 + dw_b[di, ct * CB : (ct + 1) * CB][None, None, :], 0.0,
@@ -354,7 +396,7 @@ def aspp_fused(
     c = ec * n
     pc = pw_w.shape[-1]
     assert ec % CB == 0 and c == dw_w.shape[-1], (ec, c, dw_w.shape)
-    assert h % R == 0 and max(dilations) * 2 + R <= NSLOTS * R
+    assert h % R == 0 and max(dilations) <= _APAD
     dtype = embeds[0].dtype
     grid = (b, h // R)
 
@@ -363,8 +405,11 @@ def aspp_fused(
         n_embeds=n, tiles_per=ec // CB, pc=pc, dtype=dtype,
     )
     n_dil = len(dilations)
+    # HBM zero rows DMA'd into out-of-image ring slots (== conv zero pad)
+    zrows = jnp.zeros((R, w, ec), dtype)
     in_specs = (
         [pl.BlockSpec(memory_space=pl.ANY) for _ in embeds]
+        + [pl.BlockSpec(memory_space=pl.ANY)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9
     )
     oc = (n_dil + 1) * pc
@@ -392,7 +437,7 @@ def aspp_fused(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
         interpret=interpret,
-    )(*embeds, dw_w, dw_s, dw_b, pw_w, pw_s, pw_b, a0_w, a0_s, a0_b)
+    )(*embeds, zrows, dw_w, dw_s, dw_b, pw_w, pw_s, pw_b, a0_w, a0_s, a0_b)
 
 
 # --------------------------------------------------------------- argmax head
