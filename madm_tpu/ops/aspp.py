@@ -213,8 +213,8 @@ def _aspp_fused_kernel(*refs, dilations: Tuple[int, ...], h: int, w: int,
     each 4.3 GB DW output and the channel concat (~35 GB of HBM traffic
     per batch-8 iter); here each embed row is read exactly once.
 
-    refs: [e0..e{n-1}, zrows, dw_w, dw_s, dw_b, pw_w, pw_s, pw_b, a0_w,
-    a0_s, a0_b, out, ring, sems].
+    refs: [e0..e{n-1}, zrows, dw_w (BN scale pre-folded), dw_b, pw_w,
+    pw_s, pw_b, a0_w, a0_s, a0_b, out, ring, sems].
 
     Boundary handling: block indices run in a virtual ``_APAD``-row-padded
     space; ring slots whose block falls outside the image are DMA'd from
@@ -232,8 +232,8 @@ def _aspp_fused_kernel(*refs, dilations: Tuple[int, ...], h: int, w: int,
     """
     embeds = refs[:n_embeds]
     zrows = refs[n_embeds]
-    dw_w, dw_s, dw_b, pw_w, pw_s, pw_b, a0_w, a0_s, a0_b = refs[
-        n_embeds + 1 : n_embeds + 10
+    dw_w, dw_b, pw_w, pw_s, pw_b, a0_w, a0_s, a0_b = refs[
+        n_embeds + 1 : n_embeds + 9
     ]
     out_ref, ring, sems = refs[-3:]
 
@@ -340,9 +340,12 @@ def _aspp_fused_kernel(*refs, dilations: Tuple[int, ...], h: int, w: int,
         psum = jnp.zeros((R * w, pc), jnp.float32)
         for ct in range(nct):
             # column sums first: acc = sum_kx shift_kx(sum_ky w[ky,kx]*rows_ky)
-            # — 2 shift passes instead of 6 (the 9 FMAs are unavoidable)
-            rows3 = [rows_at(ky * d, ct).astype(jnp.float32)
-                     for ky in (-1, 0, 1)]
+            # — 2 shift passes instead of 6 (the 9 FMAs are unavoidable).
+            # rows stay bf16: the f32 promotion fuses into the multiply
+            # pass (an explicit astype costs 3 extra VPU passes per tile),
+            # and the BN scale is pre-folded into dw_w by the wrapper so
+            # only the bias-add pass remains here.
+            rows3 = [rows_at(ky * d, ct) for ky in (-1, 0, 1)]
             cols = []
             for kx in (-1, 0, 1):
                 cs_ = jnp.zeros((R, w, CB), jnp.float32)
@@ -356,8 +359,7 @@ def _aspp_fused_kernel(*refs, dilations: Tuple[int, ...], h: int, w: int,
                 + jnp.pad(cols[2][:, d:, :], ((0, 0), (0, d), (0, 0)))
             )
             acc = jnp.maximum(
-                acc * dw_s[di, ct * CB : (ct + 1) * CB][None, None, :]
-                + dw_b[di, ct * CB : (ct + 1) * CB][None, None, :], 0.0,
+                acc + dw_b[di, ct * CB : (ct + 1) * CB][None, None, :], 0.0,
             )
             psum = psum + jax.lax.dot_general(
                 acc.astype(dtype).reshape(R * w, CB),
@@ -407,10 +409,13 @@ def aspp_fused(
     n_dil = len(dilations)
     # HBM zero rows DMA'd into out-of-image ring slots (== conv zero pad)
     zrows = jnp.zeros((R, w, ec), dtype)
+    # fold the depthwise BN scale into the f32 DW taps (exact in f32):
+    # saves one VPU scale pass per (branch, tile) inside the kernel
+    dw_w = dw_w * dw_s[:, None, None, :]
     in_specs = (
         [pl.BlockSpec(memory_space=pl.ANY) for _ in embeds]
         + [pl.BlockSpec(memory_space=pl.ANY)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8
     )
     oc = (n_dil + 1) * pc
     flops = (n_dil * 9 * 2 + (n_dil + 1) * 2 * pc) * b * h * w * c
@@ -437,7 +442,7 @@ def aspp_fused(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
         interpret=interpret,
-    )(*embeds, zrows, dw_w, dw_s, dw_b, pw_w, pw_s, pw_b, a0_w, a0_s, a0_b)
+    )(*embeds, zrows, dw_w, dw_b, pw_w, pw_s, pw_b, a0_w, a0_s, a0_b)
 
 
 # --------------------------------------------------------------- argmax head
