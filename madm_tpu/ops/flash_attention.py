@@ -28,27 +28,31 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+_LOG2E = 1.4426950408889634
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
-    # VPU economy: the scale folds into the fused (s - m) * scale -> exp
-    # pass (exact in fp32, zero extra passes; exp(scale*(s-m)) ==
-    # softmax-of-scaled-scores since scale > 0), and the softmax
-    # normalizer divides the [bq, D] PV output instead of the [bq, Sk]
-    # scores — saving a full VPU pass over the score matrix, the dominant
-    # non-MXU cost at S=4096.
+    # VPU economy on the [bq, Sk] score passes (the dominant non-MXU cost
+    # at S=4096): scale*log2(e) is folded into q BEFORE the QK dot (an
+    # f32 multiply over [bq, D] — Sk/D times cheaper than scaling the
+    # scores), the softmax runs in base 2 (exp2(s - m) == softmax of the
+    # scaled scores; exp2 also avoids exp's internal x*log2e step), and
+    # the normalizer divides the [bq, D] PV output instead of the scores.
     q = q_ref[0, 0, :, :]  # [bq, D]
     k = k_ref[0, 0, :, :]  # [Sk_pad, D]
     v = v_ref[0, 0, :, :]
+    qs = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
 
     scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [bq, Sk_pad] fp32, unscaled
+        qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bq, Sk_pad] fp32, log2-domain
     sk_pad = k.shape[0]
     if kv_len < sk_pad:  # static: mask the wrapper's padding keys
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         scores = jnp.where(col < kv_len, scores, -jnp.inf)
 
     m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp((scores - m) * scale)
+    e = jnp.exp2(scores - m)
     denom = jnp.sum(e, axis=-1, keepdims=True)  # [bq, 1] fp32
 
     out = jax.lax.dot_general(
@@ -61,12 +65,15 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
 def _pick_bq(sq: int, sk_pad: int, d: int, itemsize: int) -> int:
     """Largest q block keeping scores + tiles well under the VMEM budget.
 
-    Two limits: the per-step scores workspace stays under ~half of VMEM
-    (8 MB — pipelining headroom), and the whole residency incl. the K/V
-    tiles under ~13 MB of the 16 MB VMEM.  The K/V cap matters for the
-    VAE's single-head D=512 attention, where K/V alone are 8.4 MB."""
-    total_budget = 13 * 1024 * 1024
-    scores_budget = 8 * 1024 * 1024
+    v5e has 128 MB of VMEM per core: the budgets below admit bq=1024 at
+    the UNet's S=4096 shapes (scores 32 MB) — 8x fewer softmax reduce
+    passes and a deeper MXU M-dim than the 16 MB-era bq=128 (with the
+    exp2 softmax: 4.52 -> 4.18 ms/call chained A/B at B=8 H=8 S=4096
+    D=40, ~41 TF/s ≈ the D=40 underfill + softmax-VPU roofline).  K/V
+    residency matters for the VAE's single-head D=512 attention, where
+    K/V alone are 8.4 MB."""
+    total_budget = 96 * 1024 * 1024
+    scores_budget = 40 * 1024 * 1024
     kv_bytes = 2 * sk_pad * d * itemsize
     for bq in (1024, 512, 256, 128, 64, 32, 16, 8):
         if bq > sq:
@@ -141,15 +148,19 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
     v = v_ref[0, 0]
     g = g_ref[0, 0].astype(jnp.float32)  # [bq, D]
 
+    # same VPU economy as the forward: scale*log2(e) folded into q before
+    # the dot, base-2 softmax (p is identical; dq/dk below still use the
+    # unscaled q and apply `scale` to the [bq, D]-sized results)
+    qs = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
+        qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
     sk_pad = k.shape[0]
     if kv_len < sk_pad:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < kv_len, s, -jnp.inf)
     m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
+    e = jnp.exp2(s - m)
     p = e / jnp.sum(e, axis=-1, keepdims=True)  # [bq, Skp] f32
 
     dp = jax.lax.dot_general(
@@ -273,6 +284,9 @@ def _flash_attention_fwd_impl(
         out_specs=pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=(q.size + k.size + v.size + q.size) * q.dtype.itemsize,
