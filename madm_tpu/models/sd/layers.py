@@ -109,16 +109,65 @@ class Downsample2D(nn.Module):
         )(x)
 
 
+class _DilatedUpConv(nn.Module):
+    """nearest-2x + 3x3 conv collapsed into one input-dilated conv.
+
+    Param layout identical to ``nn.Conv(features, (3, 3))`` (kernel
+    [3, 3, cin, cout] + bias) so checkpoints are unaffected; the 4x4
+    dgrad kernel ``w4 = w3 ⊛ ones(2, 2)`` is formed at trace time
+    (per axis: w4 = [w0, w0+w1, w1+w2, w2] — the exact algebraic
+    collapse of conv3x3(nearest2x(x)))."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.linear.default_kernel_init,
+            (3, 3, cin, self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        p = lambda dh, dw: jnp.pad(kernel, ((dh, 1 - dh), (dw, 1 - dw),
+                                            (0, 0), (0, 0)))
+        w4 = p(0, 0) + p(1, 0) + p(0, 1) + p(1, 1)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w4.astype(self.dtype),
+            window_strides=(1, 1), padding=((2, 2), (2, 2)),
+            lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=self.dtype,
+        )
+        return y + bias.astype(self.dtype)
+
+
 class Upsample2D(nn.Module):
-    """2x nearest resize + 3x3 conv (diffusers Upsample2D)."""
+    """2x nearest resize + 3x3 conv (diffusers Upsample2D).
+
+    Default path: the two ops collapse into ONE input-dilated conv
+    (``_DilatedUpConv``) — nearest-2x followed by a 3x3 conv touches
+    only a 2x2 window of *distinct* input pixels per output, so the
+    up-sampled tensor (up to 1 GB/layer at bs 8) is never materialized
+    and XLA's conv-transpose lowering skips the duplicated MACs (the
+    broadcast+conv path ran 9 MACs per output on 2x2-duplicated
+    pixels).  ``MADM_UPSAMPLE=broadcast`` restores the materializing
+    path (also used for the non-2x ``out_size`` case)."""
 
     out_channels: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, out_size: Optional[tuple] = None) -> jax.Array:
+        import os
+
         b, h, w, c = x.shape
-        if out_size is None or out_size == (h * 2, w * 2):
+        native = out_size is None or out_size == (h * 2, w * 2)
+        if native and os.environ.get("MADM_UPSAMPLE", "dilated") == "dilated":
+            return _DilatedUpConv(self.out_channels, dtype=self.dtype,
+                                  name="conv")(x)
+        if native:
             # 2x nearest as broadcast+reshape: avoids the gather/layout
             # copies jax.image.resize introduces (profiled on v5e)
             x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))

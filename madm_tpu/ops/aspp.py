@@ -26,6 +26,7 @@ keeps the Flax/XLA path (these kernels are forward-only).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, Sequence, Tuple
 
 import jax
@@ -705,6 +706,32 @@ def aspp_head_forward(
         y * s_bk.astype(compute_dtype) + b_bk.astype(compute_dtype), 0
     )
     cs = head_params["conv_seg"]
+    tail = os.environ.get("MADM_ASPP_TAIL", "nchw")
+    if tail == "pallas":
+        # conv_seg + argmax in one Pallas pass.  Measured r3 bs8: LOSES
+        # (21.20 vs 21.27 crops/s) — pulling conv_seg out of XLA forces
+        # the bottleneck fusion out of its batch-in-sublanes output
+        # layout, which costs more than the argmax saves.  Kept opt-in.
+        return matmul_argmax(
+            y, cs["kernel"][0, 0].astype(compute_dtype), cs["bias"],
+            interpret=interpret,
+        )
+    if tail == "nchw":
+        # conv_seg emitting NCHW: the argmax then reduces over a MAJOR
+        # axis (11 sequential vector passes) instead of lane-shuffle
+        # reductions on the 11->128 lane-padded NHWC logits, which
+        # measured 7.5 ms/iter at bs8 (daformer.argmax_classes)
+        logits = jax.lax.conv_general_dilated(
+            y, cs["kernel"].astype(compute_dtype),
+            window_strides=(1, 1), padding=((0, 0), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NCHW"),
+            preferred_element_type=compute_dtype,
+        ) + cs["bias"].astype(compute_dtype)[None, :, None, None]
+        nc = logits.shape[1]
+        m = jnp.max(logits, axis=1, keepdims=True)
+        cls = jax.lax.broadcasted_iota(jnp.int32, (1, nc, 1, 1), 1)
+        ids = jnp.min(jnp.where(logits == m, cls, nc), axis=1)
+        return ids.astype(jnp.int32)
     logits = (
         jax.lax.conv_general_dilated(
             y, cs["kernel"].astype(compute_dtype),
