@@ -45,7 +45,7 @@ _UDA_KEYS = (
     "rand_prompt_scale", "without_prompt", "without_prompt_alpha",
     "prompt_seq_len", "init_uncond_prompt", "denoise_interval",
     "merge_with_pl_data", "pl_merge_val", "fd_attention",
-    "target_attention_loss",
+    "target_attention_loss", "reg_target_palette",
 )
 
 _FIELD_NAMES = {f.name for f in dataclasses.fields(MADMConfig)}

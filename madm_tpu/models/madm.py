@@ -134,6 +134,11 @@ class MADMConfig:
     ema_alpha: float = 0.999
     pseudo_threshold: float = 0.968
     train_palette: Tuple[int, ...] = ()
+    # palette for the VAE-decoder color-regression TARGETS only: None ->
+    # train_palette; 'discrete' -> the fixed high-contrast palette
+    # (``mtmadise.py:83-103``; reg_uncertain's distance table always uses
+    # train_palette, matching ``mtmadise.py:92-94``)
+    reg_target_palette: Optional[str] = None
     blur: bool = True
     color_jitter_strength: float = 0.2
     color_jitter_probability: float = 0.2

@@ -18,6 +18,31 @@ import numpy as np
 
 IGNORE_LABEL = 255
 
+# The fixed high-contrast palette selected by ``reg_target_palette=
+# 'discrete'`` (reference ``mtmadise.py:86-91``) — used ONLY for the
+# VAE-decoder color-regression targets; reg_uncertain's distance table
+# stays on the train palette (``mtmadise.py:92-94``).
+DISCRETE_PALETTE = (
+    255, 0, 255, 0, 255, 0, 127, 255, 127, 255, 127, 127, 0, 255, 255,
+    255, 255, 0, 0, 0, 255, 255, 0, 0, 127, 0, 127, 255, 255, 255, 0, 0, 0,
+)
+
+
+def reg_target_table(train_palette, reg_target_palette) -> np.ndarray:
+    """[256, 3] color table for the decoder-regression targets.
+
+    ``reg_target_palette``: None -> the train palette; 'discrete' -> the
+    fixed ``DISCRETE_PALETTE`` (the only non-None value the reference
+    accepts, ``mtmadise.py:83-86``)."""
+    if reg_target_palette is None:
+        return palette_table(train_palette)
+    if reg_target_palette != "discrete":
+        raise ValueError(
+            f"reg_target_palette must be None or 'discrete', got "
+            f"{reg_target_palette!r}"
+        )
+    return palette_table(DISCRETE_PALETTE)
+
 
 def palette_table(palette, num_entries: int = 256) -> np.ndarray:
     """flat [r0,g0,b0, r1,...] palette list -> [256, 3] float table in [0,1].

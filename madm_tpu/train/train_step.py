@@ -268,7 +268,12 @@ def make_train_step(model: MADM, tc: TrainConfig, tx):
         return model.backbone_forward(variables, images, **kw)
 
     num_classes = mcfg.num_classes
-    table = jnp.asarray(palette.palette_table(mcfg.train_palette))
+    # decoder color-regression targets may use the 'discrete' palette
+    # (mtmadise.py:253,344,397,462); the reg_uncertain distance table is
+    # ALWAYS the train palette (mtmadise.py:92-94)
+    table = jnp.asarray(
+        palette.reg_target_table(mcfg.train_palette, mcfg.reg_target_palette)
+    )
     class_table = jnp.asarray(
         palette.palette_table(mcfg.train_palette)[:num_classes]
     )

@@ -78,6 +78,7 @@ def build_parser() -> argparse.ArgumentParser:
                    action="store_true")
     p.add_argument("--FD", dest="fd", type=float, default=None)
     p.add_argument("--noise_reg", type=float, default=None)
+    p.add_argument("--reg_target_palette", type=str, default=None)
     p.add_argument("--denoise_supervise", type=float, default=None)
     p.add_argument("--denoise_timestep_range", type=int, nargs="+", default=None)
     p.add_argument("--rev_noise_sup", action="store_true")
@@ -206,6 +207,8 @@ def apply_cli_mutations(cfg, args):
         cfg.model.fd = args.fd
     if args.noise_reg is not None:
         cfg.model.noise_reg = args.noise_reg
+    if args.reg_target_palette is not None:
+        cfg.model.reg_target_palette = args.reg_target_palette
     if args.denoise_supervise is not None:
         cfg.model.denoise_supervise = args.denoise_supervise
     if args.denoise_timestep_range is not None:

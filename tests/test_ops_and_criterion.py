@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from madm_tpu.ops import dacs, palette
 from madm_tpu.train import criterion
@@ -103,6 +104,33 @@ def test_convert_labels_lut():
     labels = jnp.array([[0, 1, 2, 255]], dtype=jnp.int32)
     out = palette.convert_labels(labels, np.array([[0, 5], [1, 6]]))
     np.testing.assert_array_equal(np.asarray(out[0]), [5, 6, 2, 255])
+
+
+def test_reg_target_table_selects_discrete_palette():
+    """reg_target_palette: None -> train palette; 'discrete' -> the fixed
+    high-contrast palette (mtmadise.py:83-103); anything else rejected."""
+    train = list(PALETTE_11)
+    np.testing.assert_array_equal(
+        palette.reg_target_table(train, None), palette.palette_table(train)
+    )
+    disc = palette.reg_target_table(train, "discrete")
+    np.testing.assert_array_equal(
+        disc, palette.palette_table(palette.DISCRETE_PALETTE)
+    )
+    assert not np.array_equal(disc, palette.palette_table(train))
+    with pytest.raises(ValueError):
+        palette.reg_target_table(train, "neon")
+    # config plumb: accepted as a model knob through build_madm
+    from madm_tpu.models.build import build_madm
+
+    model = build_madm(
+        num_classes=11, train_palette=train, reg_target_palette="discrete",
+        lora_configs=("Depth_r16_a16",),
+        feature_dims=(3, 32, 64, 128), projection_dim=(32, 32, 32, 32),
+        crop_size=(64, 64), unet_channels=(32, 64, 128, 128),
+        vae_channels=(32, 32, 64, 64),
+    )
+    assert model.cfg.reg_target_palette == "discrete"
 
 
 # --------------------------------------------------------------- criterion
