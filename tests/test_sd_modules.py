@@ -53,6 +53,37 @@ def test_shared_noise_matches_torch_seed42():
     np.testing.assert_array_equal(n, ref.astype(np.float32))
 
 
+def test_upsample2d_dilated_equals_broadcast_path():
+    """The input-dilated collapse (w3 (*) ones(2,2), lhs_dilation=2) must
+    bit-follow conv3x3(nearest2x(x)) — same params, fp32."""
+    import os
+
+    from madm_tpu.models.sd.layers import Upsample2D
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 8, 8, 16)).astype(np.float32)
+    )
+    m = Upsample2D(24, dtype=jnp.float32)
+    old = os.environ.get("MADM_UPSAMPLE")
+    try:
+        os.environ["MADM_UPSAMPLE"] = "dilated"
+        v = m.init(jax.random.PRNGKey(0), x)
+        ya = m.apply(v, x)
+        os.environ["MADM_UPSAMPLE"] = "broadcast"
+        yb = m.apply(v, x)
+    finally:
+        if old is None:
+            os.environ.pop("MADM_UPSAMPLE", None)
+        else:
+            os.environ["MADM_UPSAMPLE"] = old
+    assert ya.shape == (2, 16, 16, 24)
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
+                               rtol=1e-5, atol=1e-5)
+    # identical param tree to nn.Conv (checkpoint compatibility)
+    assert set(v["params"]["conv"]) == {"kernel", "bias"}
+    assert v["params"]["conv"]["kernel"].shape == (3, 3, 16, 24)
+
+
 def test_timestep_embedding_flip_sin_to_cos():
     emb = timestep_embedding(jnp.array([0.0]), 320)
     np.testing.assert_allclose(np.asarray(emb[0, :160]), 1.0, atol=1e-6)
