@@ -62,7 +62,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
     o_ref[0, 0, :, :] = out.astype(o_ref.dtype)
 
 
-def _pick_bq(sq: int, sk_pad: int, d: int, itemsize: int) -> int:
+def _pick_bq(sq: int, sk_pad: int, d: int, itemsize: int,
+             n_score_bufs: int = 2) -> int:
     """Largest q block keeping scores + tiles well under the VMEM budget.
 
     v5e has 128 MB of VMEM per core: the budgets below admit bq=1024 at
@@ -80,7 +81,9 @@ def _pick_bq(sq: int, sk_pad: int, d: int, itemsize: int) -> int:
             continue
         if sq % bq:
             continue
-        scores_bytes = bq * sk_pad * 4 * 2  # scores + exp intermediates
+        # n_score_bufs [bq, Sk_pad] f32 live at once: 2 in the forward
+        # (scores + exp), ~5 in the backward (s, p, dp, ds + slack)
+        scores_bytes = bq * sk_pad * 4 * n_score_bufs
         q_bytes = 2 * bq * d * itemsize
         if scores_bytes < scores_budget and (
             kv_bytes + scores_bytes + q_bytes < total_budget
@@ -208,7 +211,7 @@ def _flash_attention_bwd_impl(q, k, v, g, scale: float, interpret: bool = False)
         kT = jnp.pad(kT, pad)
         vT = jnp.pad(vT, pad)
 
-    bq = _pick_bq(sq, sk_pad, d, q.dtype.itemsize)
+    bq = _pick_bq(sq, sk_pad, d, q.dtype.itemsize, n_score_bufs=5)
     grid = (b, h, sq // bq)
     kernel = functools.partial(_attn_bwd_kernel, scale=scale, kv_len=sk)
     qspec = pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
@@ -227,6 +230,7 @@ def _flash_attention_bwd_impl(q, k, v, g, scale: float, interpret: bool = False)
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=10 * b * h * sq * sk * d,

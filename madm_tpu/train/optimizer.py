@@ -54,7 +54,7 @@ def lr_schedule(
     def schedule(count):
         import jax.numpy as jnp
 
-        f = count.astype(jnp.float32)
+        f = jnp.asarray(count, jnp.float32)
         mult = jnp.full_like(f, values[0], dtype=jnp.float32)
         for it, v in zip(step_iters, values[1:]):
             mult = jnp.where(f >= it, v, mult)

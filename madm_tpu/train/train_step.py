@@ -198,7 +198,8 @@ def build_train_config(cfg, mcfg: MADMConfig) -> TrainConfig:
         rev_noise_end_iter=knob("rev_noise_end_iter") or cfg.train.max_iter,
         rev_noise_gradually=knob("rev_noise_gradually"),
         denoise_timestep_range=tuple(t_range),
-        vae_decoder_loss=uda.get("vae_decoder_loss") or mcfg.vae_decoder_loss,
+        vae_decoder_loss=(uda.get("vae_decoder_loss")
+                          or mcfg.vae_decoder_loss or ""),
         vae_decoder_loss_type=knob("vae_decoder_loss_type"),
         vae_decoder_loss_weight=vdl_w,
         reg_uncertain=knob("reg_uncertain"),

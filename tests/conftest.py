@@ -35,6 +35,7 @@ assert len(jax.devices()) == 8 and jax.devices()[0].platform == "cpu", (
 # sliding-window / surgery jits) — the fast gate is `pytest -m "not slow"`,
 # the full suite stays the pre-commit gate (see CLAUDE.md)
 _SLOW_MODULES = {
+    "test_cli_smoke",
     "test_train_step",
     "test_slide_inference",
     "test_conv_in_surgery",
