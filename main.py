@@ -128,6 +128,22 @@ def build_parser() -> argparse.ArgumentParser:
     # reference spelling kept ("corss"), main.py:758
     p.add_argument("--concat_corss_attention_feat_to_conv_seg",
                    dest="concat_attention_to_conv_seg", action="store_true")
+    # feature-graph ablations (reference main.py:756,784,812)
+    p.add_argument("--without_vae_encoder_feat", action="store_true",
+                   help="drop the VAE-branch scale (reference main.py:469-479)")
+    p.add_argument("--baseline_wo_encoder_feat", action="store_true",
+                   help="same graph cut, base-model spelling "
+                        "(reference main.py:645-652)")
+    p.add_argument("--single_scale_decoder", action="store_true",
+                   help="head on the highest-res UNet tap only "
+                        "(reference main.py:584-592)")
+    p.add_argument("--fda_fusion_val", type=float, default=None, nargs="+")
+    p.add_argument("--concat_pixel_shuffle", action="store_true")
+    p.add_argument("--mask_diff", default=None,
+                   help="'circle' or per-modality constants like "
+                        "'rgb=0_Depth=1' (reference main.py:654-660)")
+    p.add_argument("--add_latent_noise", type=float, default=-1)
+    p.add_argument("--norm_latent_noise", action="store_true")
     p.add_argument("--num_chips", type=int, default=None,
                    help="limit the mesh to the first N local devices")
     p.add_argument("--distributed", action="store_true",
@@ -288,6 +304,37 @@ def apply_cli_mutations(cfg, args):
         cfg.dataloader.train.dataset.merge_more_target_data = args.merge_more_target_data
     if args.with_clip is not None:
         cfg.model.clip_state = args.with_clip
+    if args.without_vae_encoder_feat or args.baseline_wo_encoder_feat:
+        # drop the VAE-branch scale: the reference empties
+        # encoder_block_indices and shifts every per-scale list by one
+        # (main.py:469-479,645-652); here that scale is out_features[0]
+        # ('s0' in the shipped configs)
+        assert cfg.model.out_features[0] in ("s0", "s2"), cfg.model.out_features
+        cfg.model.out_features = list(cfg.model.out_features[1:])
+        cfg.model.in_keys = list(cfg.model.in_keys[1:])
+        cfg.model.feature_dims = list(cfg.model.feature_dims[1:])
+        cfg.model.projection_dim = list(cfg.model.projection_dim[1:])
+    if args.single_scale_decoder:
+        # only the highest-res UNet tap feeds the head (main.py:584-592;
+        # tap channels hardcoded for the full SD UNet, like the reference)
+        cfg.model.out_features = ["s3"]
+        cfg.model.in_keys = ["s3"]
+        cfg.model.feature_dims = [320]
+        cfg.model.projection_dim = [512]
+        cfg.model.unet_block_indices = [11]
+    if args.fda_fusion_val is not None:
+        cfg.dataloader.train.dataset.fda_fusion_val = list(args.fda_fusion_val)
+        cfg.dataloader.test.dataset.fda_fusion_val = list(args.fda_fusion_val)
+    if args.concat_pixel_shuffle:
+        cfg.model.concat_pixel_shuffle = True
+    if args.mask_diff is not None:
+        # 'circle' adds a 2-channel mask input, otherwise 1 (main.py:654-660)
+        cfg.model.mask_diff = args.mask_diff
+        cfg.model.input_channel_plus = 2 if args.mask_diff == "circle" else 1
+    if args.add_latent_noise != -1:
+        cfg.model.add_latent_noise = args.add_latent_noise
+    if args.norm_latent_noise:
+        cfg.model.norm_latent_noise = True
     if args.concat_attention_to_conv_seg:
         cfg.model.concat_attention_to_conv_seg = True
     if args.tag:
