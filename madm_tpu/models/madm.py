@@ -149,6 +149,10 @@ class MADMConfig:
     mask_ratio: float = 0.7
     mic_reg: float = 0.0
     mic_reg_wo_pl_val: bool = False
+    # masked-consistency pass on the dataset's texture-removed edge map
+    # ('target_second_modality_pha') instead of a masked target image —
+    # the reference's live remove_texture branch (cmdise.py:573-576)
+    remove_texture: bool = False
     fd: float = 0.0
     denoise_supervise: float = 0.0
     denoise_timestep_range: Optional[Tuple[int, int]] = None

@@ -78,6 +78,11 @@ class TrainConfig:
     # (mtmadise.py:477-488); 0 = off
     mic_reg: float = 0.0
     mic_reg_wo_pl_val: bool = False
+    # texture-removed consistency: the MIC loss slot fed by a
+    # strong-transformed edge map ('target_second_modality_pha') with no
+    # masking — the reference's live remove_texture branch
+    # (cmdise.py:573-576,598-603)
+    remove_texture: bool = False
     # denoise supervision: student-at-noise-t decoder latent vs PL palette
     # latent (mtmadise.py:425-441,489-499); 0 = off
     denoise_supervise: float = 0.0
@@ -209,6 +214,7 @@ def build_train_config(cfg, mcfg: MADMConfig) -> TrainConfig:
         mask_ratio=knob("mask_ratio"),
         mic_reg=float(knob("mic_reg")),
         mic_reg_wo_pl_val=knob("mic_reg_wo_pl_val"),
+        remove_texture=knob("remove_texture"),
         denoise_supervise=float(knob("denoise_supervise")),
         fd=float(knob("fd")),
         fd_attention=float(knob("fd_attention") or 0.0),
@@ -235,8 +241,10 @@ def make_train_step(model: MADM, tc: TrainConfig, tx):
     mcfg = model.cfg
     # the reference allows at most one of {masked_prompt, perturbation, MIC}
     # (cmdise.py:184)
+    # (remove_texture shares the same consistency-loss slot, cmdise.py:567-576)
     assert (bool(tc.mask_prompt_ratio) + bool(tc.prompt_perturbation)
-            + bool(tc.mic)) <= 1, "mask_prompt/prompt_perturbation/mic are exclusive"
+            + bool(tc.mic) + bool(tc.remove_texture)) <= 1, (
+        "mask_prompt/prompt_perturbation/mic/remove_texture are exclusive")
     if mcfg.concat_attention_to_conv_seg:
         # the concat slot is wired through the source/mixed/teacher passes;
         # the aux-pass ablations never combine with it in the reference
@@ -557,6 +565,28 @@ def make_train_step(model: MADM, tc: TrainConfig, tx):
                         1.0 if tc.mic_reg_wo_pl_val else pv,
                         tc.vae_decoder_loss_type, tc.mic_reg,
                     )
+            if tc.remove_texture:
+                # consistency on the texture-removed edge map: strong
+                # transform only, no mask_image (cmdise.py:573-576); same
+                # loss slot as MIC (cmdise.py:598-603)
+                rt_img = dacs.strong_transform(
+                    k_micjit, batch["target_second_modality_pha"],
+                    tc.color_jitter_strength, tc.color_jitter_probability,
+                    tc.blur,
+                )
+                rt_img = jax.lax.stop_gradient(rt_img)
+                rt_out = backbone(
+                    var1, rt_img, input_modal="others", lora_name=tgt_lora,
+                    train=True,
+                    modality_mask=model.modality_mask(target, modality),
+                )
+                rt_logits = model.head_forward(
+                    var1, rt_out["output_features"], train=True,
+                    dropout_rng=k_micdrop, use_sec_modal=True,
+                )
+                losses["masked_prompt_consistency_loss"] = criterion.cross_entropy(
+                    rt_logits, pseudo_label, pixel_weight=pseudo_weight
+                )
             if tc.mask_prompt_ratio:
                 mp_out = backbone(
                     var1, target, input_modal="others", lora_name=tgt_lora,

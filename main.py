@@ -250,7 +250,10 @@ def apply_cli_mutations(cfg, args):
     if args.remove_amp is not None:
         cfg.dataloader.train.dataset.remove_amp = list(args.remove_amp)
     if args.remove_texture:
+        # dataset emits 'target_second_modality_pha' AND the train step runs
+        # the edge-map consistency pass (reference main.py:462-464)
         cfg.dataloader.train.dataset.remove_texture = True
+        cfg.model.remove_texture = True
     if args.slide_training:
         cfg.model.slide_training = True
     if args.final_fuse_vae_decoder_feat:

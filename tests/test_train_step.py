@@ -113,6 +113,32 @@ def test_all_uda_options_produce_their_losses(setup):
         assert np.isfinite(float(metrics[key])), f"{key} = {metrics[key]}"
 
 
+def test_remove_texture_consistency(setup):
+    """remove_texture feeds the MIC loss slot with the strong-transformed
+    edge map — no mask_image (reference cmdise.py:573-576,598-603)."""
+    model, state, _, _ = setup
+    tc = TrainConfig(max_iter=10, rev_noise_end_iter=5, remove_texture=True)
+    trainable, _ = split_trainable({"params": state.params})
+    tx = make_optimizer(trainable, max_iter=10)
+    step_fn = jax.jit(make_train_step(model, tc, tx))
+    batch = {
+        "source_rgb": jax.random.uniform(jax.random.PRNGKey(7), (2, 64, 64, 3)),
+        "source_label": jax.random.randint(jax.random.PRNGKey(8), (2, 64, 64), 0, 11),
+        "target_second_modality": jax.random.uniform(jax.random.PRNGKey(9), (2, 64, 64, 3)),
+        "target_second_modality_pha": jax.random.uniform(
+            jax.random.PRNGKey(10), (2, 64, 64, 3)
+        ),
+    }
+    _, metrics = step_fn(state, batch, jax.random.PRNGKey(44))
+    assert "masked_prompt_consistency_loss" in metrics, sorted(metrics)
+    assert np.isfinite(float(metrics["masked_prompt_consistency_loss"]))
+    # exclusivity guard extends to remove_texture (cmdise.py:567-576)
+    with pytest.raises(AssertionError):
+        make_train_step(
+            model, TrainConfig(max_iter=10, mic=True, remove_texture=True), tx
+        )
+
+
 def test_grad_clip_bounds_grad_norm(setup):
     # grad_norm metric is pre-clip; clipping is inside the optimizer — just
     # check the update magnitude is bounded by lr * clip-ish scale
