@@ -3,7 +3,9 @@
 Covers the layer no other test touches as a whole: argparse -> cfg
 mutations (--debug/--bs/--max_iter/--eval_iter) -> LazyConfig overrides ->
 builder -> sharded train loop with hooks (vis, periodic/best checkpoint,
-eval) -> do_test -> evaluator.  The reference's analog is its --debug smoke
+eval) -> do_test -> evaluator, then ``--eval-only --init-from`` on the
+saved best checkpoint (the reference's acceptance-test mode,
+reference main.py:687-716).  The reference's analog is its --debug smoke
 convention (reference main.py:356-360 — it ships no tests, SURVEY.md §4).
 """
 
@@ -44,11 +46,13 @@ def data_root(tmp_path_factory):
     return root
 
 
-def test_main_debug_train_and_eval(data_root, tmp_path):
-    from main import main
+@pytest.fixture(scope="module")
+def run_dir(tmp_path_factory):
+    return tmp_path_factory.mktemp("cli_smoke_run") / "run"
 
-    out = tmp_path / "run"
-    argv = [
+
+def base_argv(data_root, out):
+    return [
         "--config-file",
         "config_files/SemSeg/MTMADISE/mtmadise_cityscapes_rgb_to_event_11.py",
         "--debug", "--bs", "1", "--max_iter", "2", "--eval_iter", "2",
@@ -83,13 +87,38 @@ def test_main_debug_train_and_eval(data_root, tmp_path):
         "model.remat=False",
         "train.log_period=1",
     ]
-    state = main(argv)
+
+
+def test_main_debug_train_and_eval(data_root, run_dir):
+    from main import main
+
+    state = main(base_argv(data_root, run_dir))
     assert int(state.step) == 2
 
     # setup() dumped the resolved config; --debug renamed nothing here but
     # shrank the hook periods, so iter-2 triggered eval + checkpoint + vis
-    assert (out / "config.yaml").exists()
-    files = {p.name for p in out.rglob("*")}
+    assert (run_dir / "config.yaml").exists()
+    files = {p.name for p in run_dir.rglob("*")}
     assert "metrics.json" in files, sorted(files)
     # iter-2 eval found a first best -> BestCheckpointer saved model_best
     assert any(f.startswith("model_best") for f in files), sorted(files)
+
+
+def test_main_eval_only_init_from_best(data_root, run_dir, tmp_path):
+    """--eval-only --init-from <model_best> — reference main.py:687-716.
+
+    Runs after the train smoke (same module) so the saved best checkpoint
+    and the process-local jit caches are reused.
+    """
+    from main import main
+
+    best = sorted(run_dir.rglob("model_best*"))
+    assert best, "train smoke must have saved a best checkpoint"
+    out = tmp_path / "eval_run"
+    argv = base_argv(data_root, out)
+    # flags must precede the REMAINDER dot-overrides or argparse eats them
+    ins = argv.index("--output") + 2
+    argv[ins:ins] = ["--eval-only", "--init-from", str(best[0])]
+    results = main(argv)
+    assert "mIoU" in results, results
+    assert np.isfinite(float(results["mIoU"]))
