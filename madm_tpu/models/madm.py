@@ -145,6 +145,9 @@ class MADMConfig:
     enable_mixup: bool = True
     pl_crop: bool = False
     psweight_ignore_top: int = 15
+    # EMA teacher also tracks the UNet (+LoRA) — reference --ema_w_unet
+    # (cmdise.py:318-321: the teacher deepcopies the LoRA-injected unet)
+    ema_w_unet: bool = False
     mic: bool = False
     mask_ratio: float = 0.7
     mic_reg: float = 0.0
@@ -445,6 +448,10 @@ class MADM:
         if self.cfg.clip_state == "learnable_clip":
             # teacher passes use an EMA CLIP tower (ldm_base.py:846-848)
             tree["clip_vision"] = params["clip_vision"]
+        if self.cfg.ema_w_unet:
+            # teacher UNet + LoRA copies (cmdise.py:318-321)
+            tree["unet"] = params["unet"]
+            tree["lora"] = params["lora"]
         return jax.tree.map(jnp.copy, tree)
 
     def _strides(self) -> Tuple[int, ...]:
@@ -672,11 +679,15 @@ class MADM:
             prompt_mode=prompt_mode, prompt_rng=prompt_rng, images=images,
         )
 
-        unet_params = params["unet"]
-        if lora_name is not None and lora_name in params["lora"]:
+        # --ema_w_unet: teacher passes run the EMA UNet + LoRA (cmdise.py:318-321)
+        unet_src = (
+            variables["ema"] if (ema_forward and cfg.ema_w_unet) else params
+        )
+        unet_params = unet_src["unet"]
+        if lora_name is not None and lora_name in unet_src["lora"]:
             spec = self.lora_specs[lora_name]
             unet_params = merge_lora(
-                unet_params, params["lora"][lora_name],
+                unet_params, unet_src["lora"][lora_name],
                 scale=spec["alpha"] / spec["rank"],
             )
 

@@ -25,10 +25,12 @@ def update_ema(ema_tree: Any, student_tree: Any, alpha: jax.Array) -> Any:
 
 
 def student_subtree(params: Dict[str, Any], same_cond_params: bool,
-                    learnable_clip: bool = False) -> Dict[str, Any]:
+                    learnable_clip: bool = False,
+                    ema_w_unet: bool = False) -> Dict[str, Any]:
     """The student subset matching the EMA tree layout
     (projections / head / clip_project_others, plus the CLIP tower when it
-    trains — ``cmdise.py:307-325``, ``ldm_base.py:846-848``)."""
+    trains and the UNet+LoRA under --ema_w_unet — ``cmdise.py:307-325``,
+    ``ldm_base.py:846-848``)."""
     others_key = "clip_project_rgb" if same_cond_params else "clip_project_others"
     tree = {
         "projections": params["projections"],
@@ -37,4 +39,7 @@ def student_subtree(params: Dict[str, Any], same_cond_params: bool,
     }
     if learnable_clip and "clip_vision" in params:
         tree["clip_vision"] = params["clip_vision"]
+    if ema_w_unet:
+        tree["unet"] = params["unet"]
+        tree["lora"] = params["lora"]
     return tree

@@ -68,6 +68,37 @@ def lr_schedule(
     return schedule
 
 
+def linear_lr_schedule(
+    base_lr: float,
+    max_iter: int,
+    warmup_length: float = 0.0375,
+    warmup_factor: float = 1e-6,
+) -> optax.Schedule:
+    """The reference's ``--warmup_lr`` alternative schedule: WarmupParam-
+    Scheduler over ``LinearParamScheduler(start=1/(1-0.0375), end=0)``
+    (reference ``main.py:528-540``) — s(f) = (1-f)/(1-λ) hits exactly 1.0
+    when the rescaled warmup ends at f=λ, then decays linearly to 0."""
+
+    def schedule(count):
+        import jax.numpy as jnp
+
+        f = jnp.asarray(count, jnp.float32) / max_iter
+        lin = jnp.maximum((1.0 - f) / (1.0 - warmup_length), 0.0)
+        w0 = warmup_factor / (1.0 - warmup_length)  # warmup_factor * s(0)
+        warm = w0 + (1.0 - w0) * (f / warmup_length)
+        return base_lr * jnp.where(f < warmup_length, warm, lin)
+
+    return schedule
+
+
+def get_lr_schedule(base_lr: float, max_iter: int,
+                    schedule: str = "multistep") -> optax.Schedule:
+    if schedule == "linear":
+        return linear_lr_schedule(base_lr, max_iter)
+    assert schedule == "multistep", schedule
+    return lr_schedule(base_lr, max_iter)
+
+
 def make_optimizer(
     params: Dict[str, Any],
     base_lr: float = 5e-6,
@@ -79,12 +110,13 @@ def make_optimizer(
     b2: float = 0.999,
     eps: float = 1e-8,
     mu_dtype: Optional[str] = None,
+    schedule: str = "multistep",
 ) -> optax.GradientTransformation:
     """AdamW over the *trainable* tree (vae excluded by the caller).
 
     ``mu_dtype='bfloat16'`` halves the first-moment memory — useful on 16GB
     v5e where fp32 params + Adam states + grads leave little headroom."""
-    sched = lr_schedule(base_lr, max_iter)
+    sched = get_lr_schedule(base_lr, max_iter, schedule)
     adamw = optax.adamw(
         sched, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay, mask=wd_mask,
         mu_dtype=mu_dtype,

@@ -310,7 +310,8 @@ def make_train_step(model: MADM, tc: TrainConfig, tx):
         ema = update_ema(
             ts.ema,
             student_subtree(ts.params, mcfg.same_cond_params,
-                            learnable_clip=mcfg.clip_state == "learnable_clip"),
+                            learnable_clip=mcfg.clip_state == "learnable_clip",
+                            ema_w_unet=mcfg.ema_w_unet),
             alpha,
         )
 

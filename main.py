@@ -144,6 +144,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "'rgb=0_Depth=1' (reference main.py:654-660)")
     p.add_argument("--add_latent_noise", type=float, default=-1)
     p.add_argument("--norm_latent_noise", action="store_true")
+    p.add_argument("--ema_w_unet", action="store_true",
+                   help="EMA teacher also tracks the UNet+LoRA "
+                        "(reference main.py:677-678, cmdise.py:318-321)")
+    p.add_argument("--warmup_lr", action="store_true",
+                   help="linear-decay-to-0 LR schedule + weight_decay 0.01 "
+                        "(reference main.py:528-540)")
     p.add_argument("--num_chips", type=int, default=None,
                    help="limit the mesh to the first N local devices")
     p.add_argument("--distributed", action="store_true",
@@ -338,6 +344,13 @@ def apply_cli_mutations(cfg, args):
         cfg.model.add_latent_noise = args.add_latent_noise
     if args.norm_latent_noise:
         cfg.model.norm_latent_noise = True
+    if args.ema_w_unet:
+        cfg.model.ema_w_unet = True
+    if args.warmup_lr:
+        # replaces the multi-step schedule with linear decay to 0 and drops
+        # weight decay to 0.01 (reference main.py:528-540)
+        cfg.optimizer["schedule"] = "linear"
+        cfg.optimizer["weight_decay"] = 0.01
     if args.concat_attention_to_conv_seg:
         cfg.model.concat_attention_to_conv_seg = True
     if args.tag:
@@ -454,6 +467,7 @@ def build_model_and_state(cfg, args):
         b2=opt.get("betas", (0.9, 0.999))[1],
         eps=opt.get("eps", 1e-8),
         mu_dtype=opt.get("mu_dtype"),
+        schedule=opt.get("schedule", "multistep"),
     )
     state = make_train_state(model, variables, tx)
     return model, state, tx
@@ -555,9 +569,10 @@ def do_train(cfg, args):
         cfg.train.checkpointer.get("max_to_keep", 1),
     )
     best = BestCheckpointer(ckpt)
-    from madm_tpu.train.optimizer import lr_schedule
+    from madm_tpu.train.optimizer import get_lr_schedule
 
-    lr_sched = lr_schedule(cfg.optimizer["lr"], cfg.train.max_iter)
+    lr_sched = get_lr_schedule(cfg.optimizer["lr"], cfg.train.max_iter,
+                               cfg.optimizer.get("schedule", "multistep"))
     storage = EventStorage(start_iter)
     writer_list = [JSONWriter(os.path.join(cfg.train.output_dir, "metrics.json")),
                    CommonMetricPrinter(cfg.train.max_iter)]

@@ -68,3 +68,27 @@ def test_mask_diff_channel_plus():
 def test_concat_pixel_shuffle():
     cfg = mutate("--concat_pixel_shuffle")
     assert cfg.model.concat_pixel_shuffle is True
+
+
+def test_ema_w_unet_flag():
+    cfg = mutate("--ema_w_unet")
+    assert cfg.model.ema_w_unet is True
+
+
+def test_warmup_lr_swaps_schedule():
+    cfg = mutate("--warmup_lr")
+    assert cfg.optimizer["schedule"] == "linear"
+    assert cfg.optimizer["weight_decay"] == 0.01
+
+    # linear schedule numerics: warmup_factor*s(0) at 0, exactly base_lr
+    # when the rescaled warmup ends at f=0.0375, then linear to 0 at f=1
+    # (reference main.py:528-540 WarmupParamScheduler semantics)
+    from madm_tpu.train.optimizer import linear_lr_schedule
+
+    base, n = 5e-6, 10000
+    sched = linear_lr_schedule(base, n)
+    assert float(sched(0)) < 1e-9
+    assert abs(float(sched(375)) - base) < 1e-10
+    mid = float(sched(int(n * 0.51875)))  # (1-f)/(1-l) = 0.5
+    assert abs(mid - 0.5 * base) < 1e-9
+    assert float(sched(n)) == 0.0

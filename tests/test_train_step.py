@@ -139,6 +139,42 @@ def test_remove_texture_consistency(setup):
         )
 
 
+def test_ema_w_unet(setup):
+    """--ema_w_unet: the EMA tree carries unet+lora copies, updated with
+    the same schedule (reference cmdise.py:318-321,337-349)."""
+    import dataclasses
+
+    model_base, state_base, _, _ = setup
+    cfg = dataclasses.replace(model_base.cfg, ema_w_unet=True)
+    model = MADM(cfg)
+    variables = {
+        "params": state_base.params,
+        "ema": model.init_ema(state_base.params),
+        "state": state_base.state,
+        "consts": state_base.consts,
+    }
+    assert "unet" in variables["ema"] and "lora" in variables["ema"]
+    trainable, _ = split_trainable({"params": state_base.params})
+    tx = make_optimizer(trainable, max_iter=10)
+    state = make_train_state(model, variables, tx)
+    tc = TrainConfig(max_iter=10, rev_noise_end_iter=5)
+    step_fn = jax.jit(make_train_step(model, tc, tx))
+    batch = {
+        "source_rgb": jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3)),
+        "source_label": jax.random.randint(jax.random.PRNGKey(2), (2, 64, 64), 0, 11),
+        "target_second_modality": jax.random.uniform(jax.random.PRNGKey(3), (2, 64, 64, 3)),
+    }
+    new_state, metrics = step_fn(state, batch, jax.random.PRNGKey(45))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{k} = {v}"
+    # step-0 alpha=0: ema unet == pre-update student unet
+    np.testing.assert_allclose(
+        np.asarray(new_state.ema["unet"]["conv_in"]["kernel"]),
+        np.asarray(state.params["unet"]["conv_in"]["kernel"]),
+        rtol=1e-6,
+    )
+
+
 def test_grad_clip_bounds_grad_norm(setup):
     # grad_norm metric is pre-clip; clipping is inside the optimizer — just
     # check the update magnitude is bounded by lr * clip-ish scale
