@@ -177,6 +177,21 @@ class Upsample2D(nn.Module):
         return nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv")(x)
 
 
+class _Kernel(nn.Module):
+    """Declares a bias-free Dense kernel at ``<name>/kernel`` without the
+    matmul, so callers can fuse several projections into one dot while the
+    param tree (and checkpoint mapping) stays identical to ``nn.Dense``."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        # same init as nn.Dense's default (lecun_normal over (in, out))
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape, jnp.float32
+        )
+
+
 class Attention(nn.Module):
     """Multi-head attention with optional cross-attention context and LoRA.
 
@@ -198,12 +213,32 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, context: Optional[jax.Array] = None) -> jax.Array:
+        import os
+
         # x: [B, S, C]; context: [B, Sk, Ck] or None (self-attention)
         inner = self.num_heads * self.head_dim
         ctx = x if context is None else context
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        if (
+            context is None
+            and x.shape[-1] == inner
+            and os.environ.get("MADM_FUSED_QKV", "0") == "1"
+        ):
+            # self-attention: one [C, 3*inner] matmul instead of three
+            # [C, inner] dots over the same activations (wider MXU N-dim,
+            # one pass over x).  Params stay at to_q/to_k/to_v kernels so
+            # torch checkpoints convert unchanged; the kernel concat is
+            # trace-time and XLA folds it once per step.
+            ws = [
+                _Kernel((x.shape[-1], inner), name=n)()
+                for n in ("to_q", "to_k", "to_v")
+            ]
+            w = jnp.concatenate(ws, axis=1).astype(self.dtype)
+            qkv = x.astype(self.dtype) @ w
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+            k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+            v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
 
         b, s, _ = q.shape
         sk = k.shape[1]

@@ -245,6 +245,110 @@ def _flash_attention_bwd_impl(q, k, v, g, scale: float, interpret: bool = False)
     return dq, dk, dv
 
 
+# ------------------------------------------------- packed-head forward
+def _packed_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, skp, g):
+    """G heads per grid step via block-diagonal K'/V' (built in HBM by the
+    wrapper): QK^T contracts over G*D lanes and PV emits G*D columns, so at
+    D=40 the MXU runs 120/128 lanes instead of 40/128 on BOTH dots.  All
+    in-kernel slices are at multiples of Skp (lane-aligned); the softmax
+    normalizer is multiplied into e per segment BEFORE the PV dot so the
+    [bq, G*D] output stores whole."""
+    q = q_ref[0, 0]  # [bq, G*D]
+    kb = k_ref[0, 0]  # [G*Skp, G*D] block-diagonal
+    vb = v_ref[0, 0]
+    qs = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
+    scores = jax.lax.dot_general(
+        qs, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bq, G*Skp]; columns [gi*Skp, (gi+1)*Skp) = head gi's scores
+    es = []
+    for gi in range(g):
+        s_g = scores[:, gi * skp:(gi + 1) * skp]
+        m = jnp.max(s_g, axis=-1, keepdims=True)
+        e_g = jnp.exp2(s_g - m)
+        r = 1.0 / jnp.sum(e_g, axis=-1, keepdims=True)
+        es.append((e_g * r).astype(q.dtype))
+    e = jnp.concatenate(es, axis=1)
+    out = jax.lax.dot_general(
+        e, vb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+def _packed_fwd_impl(q, k, v, scale: float, g: int, interpret: bool = False):
+    """Forward for self-attention shapes with small D: pack ``g`` heads per
+    grid step.  K'/V' block-diagonals are formed by XLA (pad+concat in HBM,
+    ~2x K/V bytes — cheap next to the score traffic the packing removes)."""
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    hp = -(-h // g) * g
+    qT = jnp.transpose(q, (0, 2, 1, 3))
+    kT = jnp.transpose(k, (0, 2, 1, 3))
+    vT = jnp.transpose(v, (0, 2, 1, 3))
+    if hp != h:
+        # pad heads to a multiple of g: zero q -> uniform probs over zero v
+        # -> zero output, discarded below
+        pad = [(0, 0), (0, hp - h), (0, 0), (0, 0)]
+        qT, kT, vT = jnp.pad(qT, pad), jnp.pad(kT, pad), jnp.pad(vT, pad)
+    hg = hp // g
+    qp = qT.reshape(b, hg, g, sq, d).transpose(0, 1, 3, 2, 4).reshape(b, hg, sq, g * d)
+    k5 = kT.reshape(b, hg, g, sk, d)
+    v5 = vT.reshape(b, hg, g, sk, d)
+    kp = jnp.concatenate(
+        [jnp.pad(k5[:, :, gi], [(0, 0), (0, 0), (0, 0), (gi * d, (g - 1 - gi) * d)])
+         for gi in range(g)], axis=2)
+    vp = jnp.concatenate(
+        [jnp.pad(v5[:, :, gi], [(0, 0), (0, 0), (0, 0), (gi * d, (g - 1 - gi) * d)])
+         for gi in range(g)], axis=2)
+
+    bq = min(512, sq)
+    grid = (b, hg, sq // bq)
+    kernel = functools.partial(_packed_attn_kernel, scale=scale, skp=sk, g=g)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, g * d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, g * sk, g * d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, g * sk, g * d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, g * d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * hp * sq * sk * d,
+            bytes_accessed=(qp.size + kp.size + vp.size + qp.size) * q.dtype.itemsize,
+            transcendentals=b * hp * sq * sk,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    out = out.reshape(b, hg, sq, g, d).transpose(0, 1, 3, 2, 4).reshape(b, hp, sq, d)
+    return jnp.transpose(out[:, :h], (0, 2, 1, 3))
+
+
+def _pack_group(sq: int, sk: int, d: int) -> int:
+    """Head-group size for the packed forward; 1 = don't pack.
+
+    Only the big self-attention shapes win: D must underfill the 128-lane
+    MXU with room for >=2 heads, Sq == Sk (no cross-attention kv padding
+    in the packed kernel), and the scores wide enough to be MXU- rather
+    than overhead-bound."""
+    import os
+
+    mode = os.environ.get("MADM_FLASH_PACK", "0")
+    if mode == "0":
+        return 1
+    if sq != sk or sq < 1024 or sq % 512:
+        return 1
+    return max(1, min(128 // d, 4))
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
 def _flash_attention_fwd_impl(
     q: jax.Array,  # [B, Sq, H, D]
@@ -255,6 +359,10 @@ def _flash_attention_fwd_impl(
 ) -> jax.Array:
     b, sq, h, d = q.shape
     sk = k.shape[1]
+
+    g = _pack_group(sq, sk, d)
+    if g > 1:
+        return _packed_fwd_impl(q, k, v, scale, g, interpret=interpret)
 
     # Mosaic needs the last two block dims (8, 128)-aligned or array-equal:
     # run the kernel in [B, H, S, D] layout (XLA fuses the transposes into

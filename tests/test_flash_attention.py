@@ -82,3 +82,27 @@ def test_flash_attention_grad_through_public_api(monkeypatch):
     np.testing.assert_allclose(np.asarray(gq), np.asarray(rq), atol=2e-4)
     np.testing.assert_allclose(np.asarray(gk), np.asarray(rk), atol=2e-4)
     np.testing.assert_allclose(np.asarray(gv), np.asarray(rv), atol=2e-4)
+
+
+def test_packed_head_forward_matches_xla(monkeypatch):
+    """MADM_FLASH_PACK=auto packs G=128//D heads per grid step via
+    block-diagonal K'/V'; numerics must match the plain path."""
+    from madm_tpu.ops.flash_attention import _flash_attention_fwd_impl, _pack_group
+
+    monkeypatch.setenv("MADM_FLASH_PACK", "auto")
+    assert _pack_group(4096, 4096, 40) == 3
+    assert _pack_group(4096, 4096, 80) == 1   # 128//80 = 1
+    assert _pack_group(4096, 77, 40) == 1     # cross-attention: no packing
+    monkeypatch.setenv("MADM_FLASH_PACK", "0")
+    assert _pack_group(4096, 4096, 40) == 1
+
+    monkeypatch.setenv("MADM_FLASH_PACK", "auto")
+    b, s, h, d = 2, 1024, 8, 40
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(kq, (b, s, h, d), jnp.float32)
+    k = jax.random.normal(kk, (b, s, h, d), jnp.float32)
+    v = jax.random.normal(kv, (b, s, h, d), jnp.float32)
+    got = _flash_attention_fwd_impl(q, k, v, scale=d ** -0.5, interpret=True)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * d ** -0.5
+    ref = jnp.einsum("bhqk,bkhd->bqhd", jax.nn.softmax(logits, axis=-1), v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)

@@ -205,3 +205,32 @@ def test_lora_merge_zero_at_init_then_scaled(tiny_unet):
     q = params["mid_block"]["attentions_0"]["transformer_blocks_0"]["attn1"]["to_q"]["kernel"]
     q2 = merged2["mid_block"]["attentions_0"]["transformer_blocks_0"]["attn1"]["to_q"]["kernel"]
     np.testing.assert_allclose(np.asarray(q2 - q), 2 * 4 * 1e-4, rtol=1e-4)
+
+
+def test_fused_qkv_matches_separate_dense(monkeypatch):
+    """MADM_FUSED_QKV=1 computes self-attention q/k/v as one
+    [C, 3*inner] matmul over kernels declared at the nn.Dense tree paths —
+    same params, same init, identical output to the three-Dense path."""
+    from madm_tpu.models.sd.layers import Attention
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 320))
+    att = Attention(num_heads=8, head_dim=40)
+    monkeypatch.setenv("MADM_FUSED_QKV", "1")
+    p = att.init(jax.random.PRNGKey(0), x)
+    assert set(p["params"]) == {"to_q", "to_k", "to_v", "to_out_0"}
+    y_fused = att.apply(p, x)
+    monkeypatch.setenv("MADM_FUSED_QKV", "0")
+    p2 = att.init(jax.random.PRNGKey(0), x)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        p, p2,
+    )
+    y_ref = att.apply(p2, x)
+    np.testing.assert_allclose(
+        np.asarray(y_fused), np.asarray(y_ref), atol=2e-5
+    )
+    # cross-attention is unaffected by the knob (k/v widths differ)
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 7, 768))
+    monkeypatch.setenv("MADM_FUSED_QKV", "1")
+    p3 = att.init(jax.random.PRNGKey(0), x, ctx)
+    assert p3["params"]["to_k"]["kernel"].shape == (768, 320)
