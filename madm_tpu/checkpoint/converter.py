@@ -439,22 +439,17 @@ def convert_madm_pth(
     ignored-keys contract)."""
     sd = path_or_sd if isinstance(path_or_sd, dict) else load_torch_file(path_or_sd)
 
-    unet_prefix = "backbone.feature_extractor.ldm_extractor.unet."
-    unet_sd: Dict[str, np.ndarray] = {}
-    lora_raw: Dict[str, Dict[str, np.ndarray]] = {}
-    for key, w in sd.items():
-        if key.startswith(unet_prefix):
-            rel, adapter = _convert_peft_unet_key(key[len(unet_prefix):])
-            if adapter is None:
-                unet_sd[rel] = w
-            else:
-                lora_raw.setdefault(adapter, {})[rel] = w
-
-    out: Dict[str, Any] = {"params": {}, "ema": {}, "state": {}}
-    if unet_sd:
-        out["params"]["unet"] = convert_unet_state(unet_sd)
-
-    if lora_raw:
+    def split_unet(prefix: str):
+        """peft-wrapped UNet keys under ``prefix`` -> (unet tree?, lora trees?)."""
+        unet_sd: Dict[str, np.ndarray] = {}
+        lora_raw: Dict[str, Dict[str, np.ndarray]] = {}
+        for key, w in sd.items():
+            if key.startswith(prefix):
+                rel, adapter = _convert_peft_unet_key(key[len(prefix):])
+                if adapter is None:
+                    unet_sd[rel] = w
+                else:
+                    lora_raw.setdefault(adapter, {})[rel] = w
         loras: Dict[str, Any] = {}
         for adapter, tensors in lora_raw.items():
             tree: Dict[str, Any] = {}
@@ -467,7 +462,24 @@ def convert_madm_pth(
                 else:  # lora_B torch [out, r] -> b [r, out]
                     _set(tree, tuple(parents) + ("lora_b",), _dense(w))
             loras[adapter] = tree
+        unet = convert_unet_state(unet_sd) if unet_sd else None
+        return unet, loras or None
+
+    out: Dict[str, Any] = {"params": {}, "ema": {}, "state": {}}
+    unet, loras = split_unet("backbone.feature_extractor.ldm_extractor.unet.")
+    if unet:
+        out["params"]["unet"] = unet
+    if loras:
         out["params"]["lora"] = loras
+    # --ema_w_unet checkpoints also carry the teacher's UNet+LoRA deepcopy
+    # (cmdise.py:318-321)
+    ema_unet, ema_loras = split_unet(
+        "backbone.feature_extractor.ldm_extractor.ema_unet."
+    )
+    if ema_unet:
+        out["ema"]["unet"] = ema_unet
+    if ema_loras:
+        out["ema"]["lora"] = ema_loras
 
     proj = convert_projections(sd, "backbone.feature_projections")
     if proj:

@@ -215,3 +215,34 @@ def test_safetensors_reader_roundtrip(tmp_path):
     out = load_safetensors(str(path))
     np.testing.assert_array_equal(out["a"], tensors["a"])
     np.testing.assert_array_equal(out["b"], tensors["b"])
+
+
+def test_madm_pth_routes_ema_unet():
+    """--ema_w_unet checkpoints carry the teacher UNet+LoRA deepcopy at
+    ldm_extractor.ema_unet.* (reference cmdise.py:318-321); the converter
+    must route it into the ema tree with the same peft unwrapping."""
+    from madm_tpu.checkpoint.converter import convert_madm_pth
+
+    rng = np.random.RandomState(0)
+    attn = "down_blocks.0.attentions.0.transformer_blocks.0.attn1"
+    sd = {}
+    for root, mark in (("unet", 1.0), ("ema_unet", 2.0)):
+        p = f"backbone.feature_extractor.ldm_extractor.{root}."
+        sd[p + "conv_in.weight"] = rng.randn(32, 4, 3, 3).astype(np.float32) * mark
+        sd[p + "conv_in.bias"] = np.zeros(32, np.float32)
+        sd[p + f"{attn}.to_q.base_layer.weight"] = rng.randn(32, 32).astype(np.float32)
+        sd[p + f"{attn}.to_q.lora_A.Depth.weight"] = rng.randn(4, 32).astype(np.float32)
+        sd[p + f"{attn}.to_q.lora_B.Depth.weight"] = np.zeros((32, 4), np.float32)
+
+    out = convert_madm_pth(sd)
+    for tree in (out["params"], out["ema"]):
+        assert tree["unet"]["conv_in"]["kernel"].shape == (3, 3, 4, 32)
+        q = tree["unet"]["down_blocks_0"]["attentions_0"]["transformer_blocks_0"]["attn1"]["to_q"]
+        assert q["kernel"].shape == (32, 32)
+        lq = tree["lora"]["Depth"]["down_blocks_0"]["attentions_0"]["transformer_blocks_0"]["attn1"]["to_q"]
+        assert lq["lora_a"].shape == (32, 4) and lq["lora_b"].shape == (4, 32)
+    # the two copies stay distinct
+    assert not np.allclose(
+        out["params"]["unet"]["conv_in"]["kernel"],
+        out["ema"]["unet"]["conv_in"]["kernel"],
+    )
