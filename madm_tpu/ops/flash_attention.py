@@ -201,6 +201,11 @@ def _flash_attention_bwd_impl(q, k, v, g, scale: float, interpret: bool = False)
     the S x S score matrix never reaches HBM, unlike the XLA-recompute VJP."""
     b, sq, h, d = q.shape
     sk = k.shape[1]
+
+    gpack = _pack_group(sq, sk, d)
+    if gpack > 1:
+        return _packed_bwd_impl(q, k, v, g, scale, gpack, interpret=interpret)
+
     qT = jnp.transpose(q, (0, 2, 1, 3))
     kT = jnp.transpose(k, (0, 2, 1, 3))
     vT = jnp.transpose(v, (0, 2, 1, 3))
@@ -242,6 +247,135 @@ def _flash_attention_bwd_impl(q, k, v, g, scale: float, interpret: bool = False)
     dq = jnp.transpose(dq, (0, 2, 1, 3))
     dk = jnp.transpose(dk[:, :, :sk], (0, 2, 1, 3)).astype(k.dtype)
     dv = jnp.transpose(dv[:, :, :sk], (0, 2, 1, 3)).astype(v.dtype)
+    return dq, dk, dv
+
+
+# ------------------------------------------------ packed-head backward
+def _packed_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+                       *, scale, skp, g):
+    """Backward twin of ``_packed_attn_kernel``: the score recompute, dP
+    and dQ dots all run at G*D lanes.  dK'/dV' are accumulated in the
+    packed [G*Skp, G*D] layout — only the diagonal blocks are meaningful
+    (the off-diagonal MACs are the price of keeping every slice aligned;
+    per useful output the MXU fill matches the unpacked 40-lane dots, so
+    dk/dv cost the same while s/dp/dq run ~3x denser)."""
+    qi = pl.program_id(2)
+    q = q_ref[0, 0]  # [bq, G*D]
+    kb = k_ref[0, 0]  # [G*Skp, G*D]
+    vb = v_ref[0, 0]
+    gg = g_ref[0, 0]  # [bq, G*D]
+
+    qs = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
+    s = jax.lax.dot_general(
+        qs, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bq, G*Skp]
+    dp = jax.lax.dot_general(
+        gg, vb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bq, G*Skp] — vb is zero off-diagonal, so segments don't mix
+    ps, dss = [], []
+    for gi in range(g):
+        sl = slice(gi * skp, (gi + 1) * skp)
+        m = jnp.max(s[:, sl], axis=-1, keepdims=True)
+        e = jnp.exp2(s[:, sl] - m)
+        p_g = e / jnp.sum(e, axis=-1, keepdims=True)
+        dp_g = dp[:, sl]
+        delta = jnp.sum(dp_g * p_g, axis=-1, keepdims=True)
+        ps.append(p_g.astype(q.dtype))
+        dss.append((p_g * (dp_g - delta)).astype(q.dtype))
+    p = jnp.concatenate(ps, axis=1)
+    ds = jnp.concatenate(dss, axis=1)
+
+    dq = jax.lax.dot_general(
+        ds, kb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+
+    @pl.when(qi == 0)
+    def _():
+        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
+        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+
+    dk_ref[0, 0] += (
+        jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+    ).astype(dk_ref.dtype)
+    dv_ref[0, 0] += jax.lax.dot_general(
+        p, gg, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dv_ref.dtype)
+
+
+def _packed_bwd_impl(q, k, v, grad, scale: float, g: int,
+                     interpret: bool = False):
+    """Packed-head flash backward for self-attention shapes (Sq == Sk)."""
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    hp = -(-h // g) * g
+    qT = jnp.transpose(q, (0, 2, 1, 3))
+    kT = jnp.transpose(k, (0, 2, 1, 3))
+    vT = jnp.transpose(v, (0, 2, 1, 3))
+    gT = jnp.transpose(grad, (0, 2, 1, 3))
+    if hp != h:
+        pad = [(0, 0), (0, hp - h), (0, 0), (0, 0)]
+        qT, kT, vT, gT = (jnp.pad(t, pad) for t in (qT, kT, vT, gT))
+    hg = hp // g
+
+    def pack_q(t):
+        return t.reshape(b, hg, g, sq, d).transpose(0, 1, 3, 2, 4).reshape(
+            b, hg, sq, g * d)
+
+    def blockdiag(t):
+        t5 = t.reshape(b, hg, g, sk, d)
+        return jnp.concatenate(
+            [jnp.pad(t5[:, :, gi],
+                     [(0, 0), (0, 0), (0, 0), (gi * d, (g - 1 - gi) * d)])
+             for gi in range(g)], axis=2)
+
+    qp, gp = pack_q(qT), pack_q(gT)
+    kp, vp = blockdiag(kT), blockdiag(vT)
+
+    bq = min(256, sq)
+    grid = (b, hg, sq // bq)
+    kernel = functools.partial(_packed_bwd_kernel, scale=scale, skp=sk, g=g)
+    qspec = pl.BlockSpec((1, 1, bq, g * d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, 1, g * sk, g * d),
+                          lambda bi, hi, qi: (bi, hi, 0, 0),
+                          memory_space=pltpu.VMEM)
+    dqp, dkp, dvp = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[qspec, kvspec, kvspec, qspec],
+        out_specs=[qspec, kvspec, kvspec],
+        out_shape=[
+            jax.ShapeDtypeStruct(qp.shape, q.dtype),
+            jax.ShapeDtypeStruct(kp.shape, jnp.float32),
+            jax.ShapeDtypeStruct(vp.shape, jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(6 + 4 * g) * b * hp * sq * sk * d,
+            bytes_accessed=3 * (qp.size + kp.size) * q.dtype.itemsize,
+            transcendentals=b * hp * sq * sk,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, gp)
+
+    def unpack_q(t):
+        t5 = t.reshape(b, hg, sq, g, d).transpose(0, 1, 3, 2, 4)
+        return t5.reshape(b, hp, sq, d)[:, :h]
+
+    def diag(t):
+        t5 = t.reshape(b, hg, g, sk, g * d)
+        picks = [t5[:, :, gi, :, gi * d:(gi + 1) * d] for gi in range(g)]
+        return jnp.stack(picks, axis=2).reshape(b, hp, sk, d)[:, :h]
+
+    dq = jnp.transpose(unpack_q(dqp), (0, 2, 1, 3))
+    dk = jnp.transpose(diag(dkp), (0, 2, 1, 3)).astype(k.dtype)
+    dv = jnp.transpose(diag(dvp), (0, 2, 1, 3)).astype(v.dtype)
     return dq, dk, dv
 
 

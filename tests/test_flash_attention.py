@@ -106,3 +106,25 @@ def test_packed_head_forward_matches_xla(monkeypatch):
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * d ** -0.5
     ref = jnp.einsum("bhqk,bkhd->bqhd", jax.nn.softmax(logits, axis=-1), v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_packed_head_backward_matches_xla(monkeypatch):
+    """Packed backward: dq/dk/dv parity vs the einsum VJP (interpret mode)."""
+    from madm_tpu.ops.flash_attention import _packed_bwd_impl
+
+    b, s, h, d = 1, 1024, 8, 40
+    keys = jax.random.split(jax.random.PRNGKey(3), 4)
+    q, k, v, g = (jax.random.normal(kk, (b, s, h, d), jnp.float32) for kk in keys)
+    scale = d ** -0.5
+
+    def xla_attn(q, k, v):
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+        p = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum("bhqk,bkhd->bqhd", p, v)
+
+    _, vjp = jax.vjp(xla_attn, q, k, v)
+    want_dq, want_dk, want_dv = vjp(g)
+    got_dq, got_dk, got_dv = _packed_bwd_impl(q, k, v, g, scale, 3, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_dq), np.asarray(want_dq), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(got_dk), np.asarray(want_dk), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(got_dv), np.asarray(want_dv), atol=3e-5)
