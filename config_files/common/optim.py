@@ -3,6 +3,8 @@
 from madm_tpu.config import ConfigDict
 
 AdamW = ConfigDict(
+    name="adamw",  # 'adafactor' = factored 2nd moment + bf16 momentum
+    #                (single-chip memory option, not the reference optimizer)
     lr="???",
     weight_decay="???",
     weight_decay_norm=0.0,

@@ -111,16 +111,44 @@ def make_optimizer(
     eps: float = 1e-8,
     mu_dtype: Optional[str] = None,
     schedule: str = "multistep",
+    name: str = "adamw",
 ) -> optax.GradientTransformation:
-    """AdamW over the *trainable* tree (vae excluded by the caller).
+    """Optimizer over the *trainable* tree (vae excluded by the caller).
 
-    ``mu_dtype='bfloat16'`` halves the first-moment memory — useful on 16GB
-    v5e where fp32 params + Adam states + grads leave little headroom."""
+    ``name='adamw'`` (default) is the reference's optimizer
+    (``config_files/common/optim.py``).  Two opt-in memory reducers for
+    the 16GB v5e, where fp32 params + Adam states + grads OOM the
+    512x512 single-chip train step (~18.6GB):
+
+    - ``mu_dtype='bfloat16'`` halves the first-moment memory (-1.7GB on
+      the flagship).
+    - ``name='adafactor'`` replaces the per-param second moment with
+      Adafactor's factored row/column statistics (-3.4GB) and keeps a
+      momentum buffer at ``mu_dtype`` (bf16 by default here).  Same lr
+      schedule, global-norm clip, weight-decay mask and unet_lr group;
+      ``multiply_by_parameter_scale=False`` so the reference's absolute
+      lr (5e-6) applies unchanged.  NOT the reference optimizer — a
+      documented deviation for single-chip training.
+    """
     sched = get_lr_schedule(base_lr, max_iter, schedule)
-    adamw = optax.adamw(
-        sched, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay, mask=wd_mask,
-        mu_dtype=mu_dtype,
-    )
+    if name == "adafactor":
+        adamw = optax.adafactor(
+            sched,
+            decay_rate=0.8,
+            multiply_by_parameter_scale=False,
+            clipping_threshold=None,  # global-norm clip applied below
+            momentum=b1,
+            dtype_momentum=mu_dtype or "bfloat16",
+            weight_decay_rate=weight_decay,
+            weight_decay_mask=wd_mask,
+            factored=True,
+        )
+    else:
+        assert name == "adamw", name
+        adamw = optax.adamw(
+            sched, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay,
+            mask=wd_mask, mu_dtype=mu_dtype,
+        )
     if unet_lr is not None:
         ratio = unet_lr / base_lr
 

@@ -468,6 +468,7 @@ def build_model_and_state(cfg, args):
         eps=opt.get("eps", 1e-8),
         mu_dtype=opt.get("mu_dtype"),
         schedule=opt.get("schedule", "multistep"),
+        name=opt.get("name", "adamw"),
     )
     state = make_train_state(model, variables, tx)
     return model, state, tx

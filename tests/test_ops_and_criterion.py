@@ -201,6 +201,37 @@ def test_lr_schedule_warmup_and_steps():
     assert abs(float(sched(jnp.asarray(9700))) - 0.01) < 1e-6  # second step
 
 
+def test_adafactor_option_finite_updates_and_factored_state():
+    """The opt-in single-chip-memory optimizer: factored second moment
+    (no full-size ``v`` buffer for matrix params), bf16 momentum, same
+    global-norm clip / WD-mask plumbing as the adamw path."""
+    from madm_tpu.train.optimizer import make_optimizer
+
+    params = {
+        "dense": {"kernel": jnp.ones((256, 256)), "bias": jnp.zeros((256,))},
+        "norm": {"scale": jnp.ones((256,))},
+    }
+    tx = make_optimizer(params, base_lr=1e-3, weight_decay=0.05,
+                        max_iter=100, grad_clip=0.01, name="adafactor")
+    state = tx.init(params)
+    grads = jax.tree.map(lambda p: jnp.full_like(p, 0.5), params)
+    updates, state = jax.jit(tx.update)(grads, state, params)
+    for leaf in jax.tree.leaves(updates):
+        assert bool(jnp.all(jnp.isfinite(leaf)))
+    # factored second moment: state holds row/col stats, never a full
+    # [256,256] fp32 v for the kernel; momentum buffers are bf16
+    dtypes_and_shapes = [(l.dtype, l.shape) for l in jax.tree.leaves(state)
+                         if hasattr(l, "shape")]
+    assert any(d == jnp.bfloat16 and s == (256, 256)
+               for d, s in dtypes_and_shapes), "bf16 momentum missing"
+    full_f32 = [s for d, s in dtypes_and_shapes
+                if d == jnp.float32 and s == (256, 256)]
+    assert not full_f32, f"unfactored fp32 second moment present: {full_f32}"
+    # a second step moves the params the right way (descent on +grads)
+    new_params = jax.tree.map(lambda p, u: p + u, params, updates)
+    assert float(new_params["dense"]["kernel"][0, 0]) < 1.0
+
+
 # -------------------------------------------------------------- evaluator
 def test_evaluator_miou():
     from madm_tpu.evaluation import DSECSemSegEvaluator

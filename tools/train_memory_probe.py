@@ -1,0 +1,94 @@
+"""Single-chip 512x512 flagship TRAIN step: does it fit, and how fast?
+
+Usage:  python tools/train_memory_probe.py [--bs 1] [--steps 3]
+                                           [--opt adafactor|adamw]
+                                           [--mu-dtype bfloat16|float32]
+
+The reference trains on 2x >40GB A100s (README.md:77); a 16GB v5e OOMs at
+~18.6GB with replicated fp32 AdamW state (CLAUDE.md).  This probe compiles
+the FULL flagship UDA train step (TrainConfig defaults: rev-noise,
+vae_decoder_loss='st', reg_uncertain, split-grad, remat) on the real chip
+and reports device memory + step time — the experiment behind the
+``optimizer.name='adafactor'`` single-chip memory option
+(``madm_tpu/train/optimizer.py``).
+
+Timing fetches a device scalar (tunneled block_until_ready is a no-op).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def mem_gb():
+    stats = jax.local_devices()[0].memory_stats() or {}
+    return {k: round(v / 2**30, 2) for k, v in stats.items()
+            if k in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit")}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bs", type=int, default=1)
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--opt", default="adafactor")
+    ap.add_argument("--mu-dtype", default="bfloat16")
+    args = ap.parse_args()
+
+    from madm_tpu.models.madm import MADM, MADMConfig
+    from madm_tpu.train import (
+        TrainConfig, make_optimizer, make_train_state, make_train_step,
+        split_trainable,
+    )
+
+    model = MADM(MADMConfig())  # full SD-v1.4, 512x512
+    variables = model.init_params(jax.random.PRNGKey(0))
+    trainable, _ = split_trainable(variables, model.cfg.finetune_unet)
+    n_train = sum(x.size for x in jax.tree.leaves(trainable))
+    print(f"trainable params: {n_train / 1e6:.1f}M   "
+          f"opt={args.opt} mu_dtype={args.mu_dtype}", flush=True)
+
+    tx = make_optimizer(trainable, name=args.opt, mu_dtype=args.mu_dtype)
+    tc = TrainConfig()  # flagship defaults: rev-noise + 'st' decoder loss
+    state = make_train_state(model, variables, tx)
+    step_fn = jax.jit(make_train_step(model, tc, tx))
+
+    batch = {
+        "source_rgb": jnp.zeros((args.bs, 512, 512, 3), jnp.float32),
+        "source_label": jnp.zeros((args.bs, 512, 512), jnp.int32),
+        "target_second_modality": jnp.zeros((args.bs, 512, 512, 3), jnp.float32),
+    }
+    print(f"after init: {mem_gb()}", flush=True)
+
+    t0 = time.perf_counter()
+    state, metrics = step_fn(state, batch, jax.random.PRNGKey(0))
+    loss = float(metrics["total_loss"])  # fetch = the only reliable sync
+    print(f"step 1 (compile): {time.perf_counter() - t0:.0f}s  "
+          f"total_loss={loss:.4f}", flush=True)
+    print(f"after step 1: {mem_gb()}", flush=True)
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+    loss = float(metrics["total_loss"])
+    dt = (time.perf_counter() - t0) / args.steps
+    print(f"steady state: {dt * 1e3:.0f} ms/step "
+          f"({args.bs / dt:.2f} crops/s train)  total_loss={loss:.4f}",
+          flush=True)
+    print(f"peak: {mem_gb()}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
