@@ -96,6 +96,7 @@ class CLIPTextTransformer(nn.Module):
         self,
         input_ids: jax.Array,
         inputs_embeds: Optional[jax.Array] = None,
+        final_ln: bool = True,
     ) -> jax.Array:
         s = input_ids.shape[1] if inputs_embeds is None else inputs_embeds.shape[1]
         tok = nn.Embed(self.vocab_size, self.width, dtype=self.dtype, name="token_embedding")
@@ -112,7 +113,22 @@ class CLIPTextTransformer(nn.Module):
         for i in range(self.layers):
             x = CLIPEncoderLayer(self.heads, self.mlp_dim, dtype=self.dtype,
                                  name=f"layers_{i}")(x, causal)
+        if not final_ln:
+            # pre-LN encoder output — the NeTI bypass is added here before
+            # the final LayerNorm (neti_clip_text_encoder.py:132-148)
+            return x
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="final_layer_norm")(x)
+
+
+def apply_final_layer_norm(params, x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """Apply the transformer's final LayerNorm from its param tree (used by
+    the NeTI bypass path, which LNs both the plain and bypassed states —
+    reference ``neti_clip_text_encoder.py:147-148``)."""
+    ln = params["final_layer_norm"]
+    mean = x.mean(-1, keepdims=True)
+    var = ((x - mean) ** 2).mean(-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    return y * ln["scale"] + ln["bias"]
 
 
 def empty_prompt_ids(length: int = MAX_LEN) -> np.ndarray:

@@ -55,12 +55,21 @@ def test_clip_text_parity_tiny():
 
 
 def test_neti_mapper_shapes():
-    mapper = NeTIMapper(output_dim=32, hidden_dim=16)
+    mapper = NeTIMapper(output_dim=32, num_w=64)
     params = jax.jit(mapper.init)(
         jax.random.PRNGKey(0), jnp.zeros((2,)), jnp.zeros((2,))
     )["params"]
     out = jax.jit(lambda p, t, l: mapper.apply({"params": p}, t, l))(
         params, jnp.array([10.0, 500.0]), jnp.array([0.0, 15.0])
     )
-    assert out.shape == (2, 32)
+    # dual output: word half + bypass half (neti_mapper.py:38-40)
+    assert out.shape == (2, 64)
     assert bool(jnp.isfinite(out).all())
+    no_bypass = NeTIMapper(output_dim=32, num_w=64, output_bypass=False)
+    params2 = jax.jit(no_bypass.init)(
+        jax.random.PRNGKey(0), jnp.zeros((2,)), jnp.zeros((2,))
+    )["params"]
+    out2 = no_bypass.apply(
+        {"params": params2}, jnp.array([10.0]), jnp.array([0.0])
+    )
+    assert out2.shape == (1, 32)
