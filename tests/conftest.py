@@ -41,6 +41,7 @@ _SLOW_MODULES = {
     "test_conv_in_surgery",
     "test_finetune_unet",
     "test_eval_pipeline",
+    "test_pipeline_golden",
     "test_torch_golden",
     "test_daformer_golden",
     "test_ldm_extractor",
