@@ -89,14 +89,62 @@ def main():
             if rate > best:
                 best, best_bs = rate, bs
         except Exception as e:  # OOM at large batch: keep best so far
-            print(f"# bs={bs} failed: {type(e).__name__}: {e}", file=sys.stderr)
+            # first line only — the XLA OOM report appends a multi-page
+            # HLO-temp allocation dump that drowns the recorded evidence
+            msg = str(e).splitlines()[0][:300] if str(e) else ""
+            print(f"# bs={bs} failed: {type(e).__name__}: {msg}", file=sys.stderr)
             break
+
+    # sliding-window throughput — the north-star metric's own path
+    # (BASELINE.json: 'per-chip sliding-window inference throughput';
+    # 512x1024 images -> 3 batched 512^2 window crops per image,
+    # feature_extractor.py:199-278).  Reported as crops/s/chip so it is
+    # directly comparable to the single-crop sweep.  MADM_BENCH_SLIDE=0 skips.
+    slide_rate = 0.0
+    slide_bs = 0
+    if os.environ.get("MADM_BENCH_SLIDE", "1") != "0":
+        from madm_tpu.evaluation.inference import make_slide_eval_fn
+
+        slide_fn_raw = make_slide_eval_fn(model)
+
+        @jax.jit
+        def slide_fn(variables, images):
+            return slide_fn_raw(variables, images).sum()
+
+        for bs in (
+            int(s) for s in os.environ.get("MADM_BENCH_SLIDE_BS", "1,2").split(",")
+        ):
+            try:
+                images = jnp.zeros((bs, 512, 1024, 3), jnp.float32)
+                float(slide_fn(variables, images))
+                float(slide_fn(variables, images))
+                iters = 8
+                t0 = time.perf_counter()
+                outs = [slide_fn(variables, images) for _ in range(iters)]
+                for o in outs:
+                    float(o)
+                dt = time.perf_counter() - t0
+                rate = 3 * bs * iters / dt  # 3 window crops per image
+                print(
+                    f"# slide bs={bs} (3 crops/img): {rate:.2f} crops/s "
+                    f"({dt / iters * 1e3:.1f} ms/img-batch)",
+                    file=sys.stderr,
+                )
+                if rate > slide_rate:
+                    slide_rate, slide_bs = rate, bs
+            except Exception as e:
+                msg = str(e).splitlines()[0][:300] if str(e) else ""
+                print(f"# slide bs={bs} failed: {type(e).__name__}: {msg}",
+                      file=sys.stderr)
+                break
 
     print(json.dumps({
         "metric": "512x512 seg crops/sec/chip (VAE+UNet feature pass + head)",
         "value": round(best, 3),
         "unit": f"crops/s/chip (best batch={best_bs}, bf16)",
         "vs_baseline": round(best / BASELINE_CROPS_PER_SEC_PER_CHIP, 3),
+        "slide_crops_per_sec_per_chip": round(slide_rate, 3),
+        "slide_batch": slide_bs,
     }))
 
 

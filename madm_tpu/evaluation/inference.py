@@ -93,9 +93,9 @@ def make_slide_eval_fn(model, lora_name: Optional[str] = None,
             variables, image, input_modal="others", lora_name=lora_name,
             windows=windows, timesteps=timesteps,
         )["output_features"]
-        # eval uses the target-modality head (mtmadise.py:685)
-        logits = model.head_forward(variables, stitched, use_sec_modal=True)
-        return model._ids_from_logits(logits, (h, w))
+        # eval uses the target-modality head (mtmadise.py:685); head_ids
+        # routes through the fused Pallas head when shapes allow
+        return model.head_ids(variables, stitched, image.shape)
 
     return _jit_eval(eval_fn, mesh)
 

@@ -952,15 +952,29 @@ class MADM:
             modality_mask=self.modality_mask(images, self.cfg.target_modality),
             capture_attention=self.cfg.concat_attention_to_conv_seg,
         )
-        feats = bb_out["output_features"]
+        return self.head_ids(
+            variables, bb_out["output_features"], images.shape,
+            cross_attention_feat=bb_out.get("cross_attention_feat"),
+        )
+
+    def head_ids(
+        self,
+        variables: Dict[str, Any],
+        feats: Dict[str, jax.Array],
+        image_shape,
+        cross_attention_feat: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """Head -> argmax ids [B, H, W], via the fused Pallas head where the
+        static shape/config checks allow (shared by the single-crop and the
+        sliding-window eval paths)."""
         if self.cfg.concat_attention_to_conv_seg:
             # fused-head kernels don't model the concat slot; plain path
             logits = self.head_forward(
                 variables, feats, use_sec_modal=True,
-                cross_attention_feat=bb_out.get("cross_attention_feat"),
+                cross_attention_feat=cross_attention_feat,
             )
-            return self._ids_from_logits(logits, images.shape[1:3])
-        mode = self._eval_head_mode(images.shape)
+            return self._ids_from_logits(logits, image_shape[1:3])
+        mode = self._eval_head_mode(image_shape)
         sec = self.cfg.sem_seg_head_sec_modal
         if mode != "none":
             from ..ops import aspp
@@ -985,7 +999,7 @@ class MADM:
                 p["conv_seg"]["kernel"][0, 0], p["conv_seg"]["bias"],
             )
         logits = self.head_forward(variables, feats, use_sec_modal=True)
-        return self._ids_from_logits(logits, images.shape[1:3])
+        return self._ids_from_logits(logits, image_shape[1:3])
 
     @staticmethod
     def _ids_from_logits(logits: jax.Array, hw) -> jax.Array:

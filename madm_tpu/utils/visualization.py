@@ -29,6 +29,30 @@ def colorize_mask(mask: np.ndarray, palette: Sequence[int]) -> np.ndarray:
     return table[np.clip(mask, 0, 255)]
 
 
+def attention_overlay(attn: np.ndarray, image: np.ndarray) -> np.ndarray:
+    """Jet-colormap attention heatmap blended onto the image (reference
+    ``show_cam_on_image`` / ``show_image_attention_maps``,
+    ``utils/visualization.py:92-118`` — cv2.applyColorMap(JET) replaced by
+    matplotlib's jet colormap).
+
+    attn: [h, w] (any resolution); image: [H, W, 3] in [0, 1].
+    Returns [H, W, 3] float in [0, 1]."""
+    from matplotlib import cm
+    from PIL import Image as PILImage
+
+    h, w = image.shape[:2]
+    a = np.asarray(attn, np.float32)
+    a = np.asarray(
+        PILImage.fromarray(a).resize((w, h), PILImage.BILINEAR), np.float32
+    )
+    img = np.asarray(image, np.float32)
+    rng = img.max() - img.min()
+    img = (img - img.min()) / (rng if rng > 0 else 1.0)
+    heat = cm.jet(np.clip(a, 0.0, 1.0))[..., :3].astype(np.float32)
+    cam = heat + img
+    return cam / max(cam.max(), 1e-6)
+
+
 def save_vis_grid(
     vis_data: List[Dict],
     save_path: str,
@@ -39,9 +63,11 @@ def save_vis_grid(
 ) -> Optional[str]:
     """Save a prediction grid like the reference's ``vis_results``.
 
-    vis_data entries: {'data_type': 'image'|'logits'|'label'|'heatmap',
-    'info': str, 'data': np [B,H,W,C] / [B,H,W]}.  Returns the written path,
-    or None when matplotlib is unavailable."""
+    vis_data entries: {'data_type': 'image'|'logits'|'label'|'heatmap'|
+    'attention_maps', 'info': str, 'data': np [B,H,W,C] / [B,H,W]};
+    'attention_maps' entries also carry 'image' [B,H,W,3] to overlay onto
+    (reference ``cmdise.py:238-305`` + ``utils/visualization.py:44-118``).
+    Returns the written path, or None when matplotlib is unavailable."""
     try:
         import matplotlib
 
@@ -68,8 +94,10 @@ def save_vis_grid(
                 ax.imshow(colorize_mask(d.argmax(-1), palette))
             elif item["data_type"] == "label":
                 ax.imshow(colorize_mask(d.astype(np.int32), palette))
-            else:  # heatmap
-                ax.imshow(d, cmap="viridis")
+            elif item["data_type"] == "attention_maps":
+                ax.imshow(attention_overlay(d, np.asarray(item["image"][j])))
+            else:  # heatmap — jet like the reference's cv2.COLORMAP_JET
+                ax.imshow(d, cmap="jet")
             ax.set_title(item["info"], fontsize=8)
     for ax in axs.flat:
         ax.axis("off")

@@ -589,46 +589,30 @@ def do_train(cfg, args):
         ))
     writers = WriterStack(writer_list, period=cfg.train.get("log_period", 50))
 
-    # periodic training-vis grids (reference VisHook / mtmadise.py:551-653)
+    # periodic training-vis grids with the reference's full panel set
+    # (reference VisHook / mtmadise.py:551-653; see madm_tpu/train/vis.py)
     vis_period = cfg.train.get("vis_period", 0)
     if vis_period:
         import jax.numpy as jnp
 
+        from madm_tpu.train.vis import build_vis_data, make_vis_fn
         from madm_tpu.utils.visualization import save_vis_grid
 
-        @jax.jit
-        def _vis_fwd(variables, src, tgt):
-            sfeats = model.backbone_forward(variables, src, input_modal="rgb")
-            slog = model.head_forward(variables, sfeats["output_features"])
-            tfeats = model.backbone_forward(
-                variables, tgt, input_modal="others", ema_forward=True
-            )
-            tlog = model.head_forward(
-                variables, tfeats["output_features"], ema_forward=True
-            )
-            return slog.astype(jnp.float32), tlog.astype(jnp.float32)
+        vis_fn = make_vis_fn(model, tc)
 
-        def maybe_vis(it, state, batch):
+        def maybe_vis(it, state, batch, step_rng):
             if (it + 1) % vis_period:
                 return
-            v = state_to_variables(state)
-            slog, tlog = _vis_fwd(v, batch["source_rgb"], batch["target_second_modality"])
+            host = jax.device_get(
+                vis_fn(state_to_variables(state), batch, step_rng,
+                       jnp.asarray(it, jnp.int32))
+            )
             save_vis_grid(
-                [
-                    {"data_type": "image", "info": "source_rgb",
-                     "data": np.asarray(batch["source_rgb"])},
-                    {"data_type": "logits", "info": "source_pred", "data": np.asarray(slog)},
-                    {"data_type": "label", "info": "source_label",
-                     "data": np.asarray(batch["source_label"])},
-                    {"data_type": "image", "info": "target_sec_modal",
-                     "data": np.asarray(batch["target_second_modality"])},
-                    {"data_type": "logits", "info": "target_sec_modal_pl",
-                     "data": np.asarray(tlog)},
-                ],
+                build_vis_data(host, tc, it + 1),
                 cfg.train.output_dir, it + 1, list(model.cfg.train_palette),
             )
     else:
-        def maybe_vis(it, state, batch):
+        def maybe_vis(it, state, batch, step_rng):
             return
 
     rng = jax.random.PRNGKey(cfg.train.seed)
@@ -636,6 +620,26 @@ def do_train(cfg, args):
     t_last = time.perf_counter()
     # --stop_iter halts early without shortening the lr schedule
     stop_iter = min(cfg.train.max_iter, cfg.train.get("stop_iter") or cfg.train.max_iter)
+
+    # metric fetch is pipelined one step behind the dispatch: fetching step
+    # i-1's scalars while step i runs on device hides the per-fetch transfer
+    # latency (~30 ms on the tunneled TPU, CLAUDE.md); the NaN sentinel fires
+    # on the delayed value.  The reference's metric path is likewise off the
+    # critical path (engine/train_loop.py:144-185, rank-0 gather).
+    pending = None  # (it, device metric tree, data_time, dispatch timestamp)
+
+    def flush(p):
+        p_it, dev_metrics, data_time, t_disp = p
+        metrics = {k: float(v) for k, v in dev_metrics.items()}
+        if not np.isfinite(metrics["total_loss"]):
+            raise FloatingPointError(f"non-finite loss at iter {p_it}: {metrics}")
+        storage.put_scalars(
+            **metrics, data_time=data_time, time=t_disp,
+            lr=float(lr_sched(p_it)),
+        )
+        writers.maybe_write(storage)
+        storage.step()
+
     try:
         for it in range(start_iter, stop_iter):
             t0 = time.perf_counter()
@@ -643,24 +647,26 @@ def do_train(cfg, args):
             batch = shard_batch(mesh, batch)
             t1 = time.perf_counter()
             rng, step_rng = jax.random.split(rng)
-            state, metrics = step_fn(state, batch, step_rng)
-            metrics = {k: float(v) for k, v in metrics.items()}
+            state, dev_metrics = step_fn(state, batch, step_rng)
             t2 = time.perf_counter()
-            if not np.isfinite(metrics["total_loss"]):
-                raise FloatingPointError(f"non-finite loss at iter {it}: {metrics}")
-            storage.put_scalars(
-                **metrics, data_time=t1 - t0, time=t2 - t_last,
-                lr=float(lr_sched(it)),
-            )
+            if pending is not None:
+                flush(pending)
+            pending = (it, dev_metrics, t1 - t0, t2 - t_last)
             t_last = t2
-            writers.maybe_write(storage)
-            maybe_vis(it, state, batch)
+            maybe_vis(it, state, batch, step_rng)
             periodic.step(it, state)
             if (it + 1) % cfg.train.eval_period == 0 or it + 1 == cfg.train.max_iter:
                 results = do_test(cfg, model, state, args, iteration=it + 1)
                 best.step(results, state)
-            storage.step()
+        if pending is not None:
+            flush(pending)
+            pending = None
     finally:
+        if pending is not None:  # surface the last step's metrics on error
+            try:
+                flush(pending)
+            except FloatingPointError:
+                pass
         writers.close()
     return state
 
