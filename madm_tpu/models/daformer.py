@@ -111,14 +111,20 @@ class ASPPWrapper(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        import os
+
         wrap = (lambda m: nn.remat(m, static_argnums=(2,))) if self.remat else (lambda m: m)
+        barrier = os.environ.get("MADM_ASPP_BARRIER", "1") != "0"
         outs = []
         for i, d in enumerate(self.dilations):
             xin = x
-            if self.remat and outs:
+            if self.remat and outs and barrier:
                 # identity barrier chains the branches: without it XLA
                 # schedules all rematted branch backwards concurrently and
-                # their combined working set OOMs a 16GB v5e
+                # their combined working set OOMs a 16GB v5e (r2).  Each
+                # barrier output is, however, its own saved remat residual
+                # (3 extra 512 MB copies of x at 512^2) — MADM_ASPP_BARRIER=0
+                # drops the chain for memory probes / alternative schedulers.
                 xin = jax.lax.optimization_barrier((x, outs[-1]))[0]
             if d == 1:
                 outs.append(wrap(ConvModule)(self.channels, 1, dtype=self.dtype,
@@ -126,8 +132,21 @@ class ASPPWrapper(nn.Module):
             else:
                 outs.append(wrap(DepthwiseSeparableConvModule)(
                     self.channels, d, dtype=self.dtype, name=f"aspp_{i}")(xin, train))
+        bottleneck = ConvModule(self.channels, 3, dtype=self.dtype,
+                                name="bottleneck")
+        if self.remat:
+            # concat INSIDE the remat: otherwise the 1024-ch concat output
+            # (520 MB bf16 at 512^2) is the remat boundary residual saved
+            # from forward to backward; rematting concat+bottleneck together
+            # saves only the four 256-ch branch outputs instead
+            def tail(mdl, branch_outs, train):
+                return mdl(jnp.concatenate(branch_outs, axis=-1), train)
+
+            return nn.remat(tail, static_argnums=(2,))(
+                bottleneck, tuple(outs), train
+            )
         x = jnp.concatenate(outs, axis=-1)
-        return wrap(ConvModule)(self.channels, 3, dtype=self.dtype, name="bottleneck")(x, train)
+        return bottleneck(x, train)
 
 
 class SelfAttentionBlock(nn.Module):

@@ -106,7 +106,7 @@ def make_optimizer(
     max_iter: int = 10000,
     grad_clip: float = 0.01,
     unet_lr: Optional[float] = None,
-    b1: float = 0.9,
+    b1: Optional[float] = 0.9,  # None (adafactor only): momentumless
     b2: float = 0.999,
     eps: float = 1e-8,
     mu_dtype: Optional[str] = None,
@@ -137,6 +137,8 @@ def make_optimizer(
             decay_rate=0.8,
             multiply_by_parameter_scale=False,
             clipping_threshold=None,  # global-norm clip applied below
+            # b1=None -> classic momentumless Adafactor (no first-moment
+            # buffer at all: another -1.7GB on the flagship)
             momentum=b1,
             dtype_momentum=mu_dtype or "bfloat16",
             weight_decay_rate=weight_decay,

@@ -45,6 +45,11 @@ def main():
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--opt", default="adafactor")
     ap.add_argument("--mu-dtype", default="bfloat16")
+    ap.add_argument("--no-momentum", action="store_true",
+                    help="classic Adafactor: drop the first-moment buffer "
+                         "(-1.7GB on the flagship)")
+    ap.add_argument("--xla-opt", action="append", default=[],
+                    help="per-compile XLA option key=value (repeatable)")
     args = ap.parse_args()
 
     from madm_tpu.models.madm import MADM, MADMConfig
@@ -60,16 +65,28 @@ def main():
     print(f"trainable params: {n_train / 1e6:.1f}M   "
           f"opt={args.opt} mu_dtype={args.mu_dtype}", flush=True)
 
-    tx = make_optimizer(trainable, name=args.opt, mu_dtype=args.mu_dtype)
+    opt_kw = {"b1": None} if args.no_momentum else {}
+    tx = make_optimizer(trainable, name=args.opt, mu_dtype=args.mu_dtype,
+                        **opt_kw)
     tc = TrainConfig()  # flagship defaults: rev-noise + 'st' decoder loss
     state = make_train_state(model, variables, tx)
-    step_fn = jax.jit(make_train_step(model, tc, tx))
+    # donate the state like the production sharded step does
+    # (parallel/mesh.py:125) — without it the 5.2G output state is a second
+    # allocation on top of the argument state (measured r4: the no-donation
+    # probe OOM'd at 17.56G purely from that duplication)
+    step_fn = jax.jit(make_train_step(model, tc, tx), donate_argnums=0)
 
     batch = {
         "source_rgb": jnp.zeros((args.bs, 512, 512, 3), jnp.float32),
         "source_label": jnp.zeros((args.bs, 512, 512), jnp.int32),
         "target_second_modality": jnp.zeros((args.bs, 512, 512, 3), jnp.float32),
     }
+    if args.xla_opt:
+        opts = dict(kv.split("=", 1) for kv in args.xla_opt)
+        print(f"compiler options: {opts}", flush=True)
+        step_fn = step_fn.lower(
+            state, batch, jax.random.PRNGKey(0)
+        ).compile(compiler_options=opts)
     print(f"after init: {mem_gb()}", flush=True)
 
     t0 = time.perf_counter()
