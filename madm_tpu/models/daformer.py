@@ -97,6 +97,143 @@ class DepthwiseSeparableConvModule(nn.Module):
         return x
 
 
+class _BNShell(nn.Module):
+    """Declares flax-``BatchNorm``-identical params/stats without compute.
+
+    Used by the scan-serialized ASPP path so the variable tree (names,
+    shapes, init values — init RNGs are path-keyed) is byte-identical to
+    the module path's, while the math runs inside a ``lax.scan`` body."""
+
+    feats: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.feats,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.feats,), jnp.float32)
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((self.feats,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((self.feats,), jnp.float32))
+        return scale, bias, mean, var
+
+
+class _ConvModuleShell(nn.Module):
+    """Param/stat declaration twin of ``ConvModule`` (conv/kernel + bn/*)."""
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int
+    depthwise: bool
+
+    @nn.compact
+    def __call__(self):
+        if self.depthwise:
+            kshape = (self.kernel_size, self.kernel_size, 1, self.in_channels)
+            feats = self.in_channels
+        else:
+            kshape = (self.kernel_size, self.kernel_size,
+                      self.in_channels, self.out_channels)
+            feats = self.out_channels
+
+        class _K(nn.Module):
+            @nn.compact
+            def __call__(self):
+                return self.param("kernel", nn.linear.default_kernel_init,
+                                  kshape, jnp.float32)
+
+        kernel = _K(name="conv")()
+        scale, bias, mean, var = _BNShell(feats, name="bn")()
+        return {"kernel": kernel, "scale": scale, "bias": bias,
+                "mean_var": (mean, var)}
+
+
+class _SepShell(nn.Module):
+    """Declaration twin of ``DepthwiseSeparableConvModule``."""
+
+    in_channels: int
+    out_channels: int
+
+    @nn.compact
+    def __call__(self):
+        return {
+            "dw": _ConvModuleShell(self.in_channels, self.in_channels, 3,
+                                   True, name="depthwise_conv")(),
+            "pw": _ConvModuleShell(self.in_channels, self.out_channels, 1,
+                                   False, name="pointwise_conv")(),
+        }
+
+
+def _bn_train(xf: jax.Array, scale, bias, eps: float = 1e-5):
+    """Train-mode BatchNorm on an fp32 tensor: flax semantics (biased var,
+    stats over all non-channel axes).  Returns (normalized fp32, mean, var)."""
+    mean = xf.mean(axis=(0, 1, 2))
+    var = jnp.maximum(0.0, (xf * xf).mean(axis=(0, 1, 2)) - mean * mean)
+    mul = jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32)
+    return (xf - mean) * mul + bias.astype(jnp.float32), mean, var
+
+
+def sep_branch_scan(
+    x: jax.Array,  # [B,H,W,C] compute dtype
+    dilations,  # static tuple of the scanned dilations (e.g. (6, 12, 18))
+    stacked: Dict[str, jax.Array],  # {dw,pw} x {kernel,scale,bias}, leading N
+    eps: float = 1e-5,
+):
+    """The dilated DW-separable ASPP branches as ONE ``lax.scan``.
+
+    Sequencing rationale: with the branches as three unrolled remat calls,
+    XLA schedules their backwards' recomputes and BN cotangents
+    concurrently — measured 2026-08-19 on v5e: ~7.6 GB of simultaneously
+    live [512^2, 1024] head-fuse buffers in the bs-1 512^2 train step
+    (probe dumps in tools/train_memory_probe.py).  A scan body is a
+    separate computation: one branch's working set is live at a time, in
+    forward AND backward, by construction.
+
+    The dilation must be DATA for the bodies to share one HLO, so the
+    3x3 depthwise conv is expressed as its nine taps on a max-dilation
+    padded input, each tap a ``dynamic_slice`` at offset ``P ± d`` —
+    identical math to ``nn.Conv(feature_group_count=C)`` with zero 'SAME'
+    padding (fp32 accumulation; summation order differs from the conv
+    lowering by at most reassociation).  The pointwise conv is a plain
+    dot.  BN follows flax train semantics exactly (``_bn_train``).
+
+    Returns (outs [N,B,H,W,Co] in x.dtype, new running stats {.. [N,C]}).
+    """
+    b, h, w, c = x.shape
+    p = max(dilations)
+    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+
+    def body(carry, inp):
+        d = inp["d"]
+        dw_w = inp["dw_kernel"].astype(x.dtype)  # [3,3,1,C]
+        acc = None
+        for oi in (-1, 0, 1):
+            for oj in (-1, 0, 1):
+                win = jax.lax.dynamic_slice(
+                    xp, (0, p + oi * d, p + oj * d, 0), (b, h, w, c)
+                )
+                term = (win * dw_w[oi + 1, oj + 1, 0]).astype(jnp.float32)
+                acc = term if acc is None else acc + term
+        ydw, dw_mean, dw_var = _bn_train(acc, inp["dw_scale"], inp["dw_bias"],
+                                         eps)
+        ydw = jnp.maximum(ydw, 0.0).astype(x.dtype)
+        pw_w = inp["pw_kernel"][0, 0].astype(x.dtype)  # [C, Co]
+        z = jax.lax.dot_general(
+            ydw, pw_w, (((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ypw, pw_mean, pw_var = _bn_train(z, inp["pw_scale"], inp["pw_bias"],
+                                         eps)
+        out = jnp.maximum(ypw, 0.0).astype(x.dtype)
+        return carry, {"out": out, "dw_mean": dw_mean, "dw_var": dw_var,
+                       "pw_mean": pw_mean, "pw_var": pw_var}
+
+    xs = dict(stacked, d=jnp.asarray(dilations, jnp.int32))
+    _, ys = jax.lax.scan(jax.checkpoint(body), 0.0, xs)
+    return ys.pop("out"), ys
+
+
 class ASPPWrapper(nn.Module):
     """Separable ASPP fusion (``daformer_head.py:414-479``, sep=True, pool=False).
 
@@ -115,6 +252,50 @@ class ASPPWrapper(nn.Module):
 
         wrap = (lambda m: nn.remat(m, static_argnums=(2,))) if self.remat else (lambda m: m)
         barrier = os.environ.get("MADM_ASPP_BARRIER", "1") != "0"
+        # scan-serialized dilated branches (sep_branch_scan): one branch's
+        # working set live at a time in fwd AND bwd — the memory-floor path
+        # for 512^2 single-chip training.  Variable tree identical to the
+        # module path (shells), so checkpoints/tests are unaffected.
+        use_scan = (
+            self.remat and train
+            and os.environ.get("MADM_ASPP_SCAN", "0") == "1"
+            and len(self.dilations) >= 3
+            and self.dilations[0] == 1
+            and all(d > 1 for d in self.dilations[1:])
+        )
+        if use_scan:
+            out0 = wrap(ConvModule)(self.channels, 1, dtype=self.dtype,
+                                    name="aspp_0")(x, train)
+            shells = [
+                _SepShell(x.shape[-1], self.channels, name=f"aspp_{i}")()
+                for i in range(1, len(self.dilations))
+            ]
+            stacked = {
+                f"{mod}_{leaf}": jnp.stack([s[mod][leaf] for s in shells])
+                for mod in ("dw", "pw")
+                for leaf in ("kernel", "scale", "bias")
+            }
+            outs_s, stats = sep_branch_scan(
+                x.astype(self.dtype), tuple(self.dilations[1:]), stacked
+            )
+            if (self.is_mutable_collection("batch_stats")
+                    and not self.is_initializing()):
+                m = 0.9  # ConvModule BN momentum
+                for j, s in enumerate(shells):
+                    for mod, key in (("dw", "dw"), ("pw", "pw")):
+                        rm, rv = s[mod]["mean_var"]
+                        rm.value = m * rm.value + (1 - m) * stats[f"{key}_mean"][j]
+                        rv.value = m * rv.value + (1 - m) * stats[f"{key}_var"][j]
+            outs = [out0] + [outs_s[j] for j in range(len(shells))]
+            bottleneck = ConvModule(self.channels, 3, dtype=self.dtype,
+                                    name="bottleneck")
+
+            def tail(mdl, branch_outs, train):
+                return mdl(jnp.concatenate(branch_outs, axis=-1), train)
+
+            return nn.remat(tail, static_argnums=(2,))(
+                bottleneck, tuple(outs), train
+            )
         outs = []
         for i, d in enumerate(self.dilations):
             xin = x
