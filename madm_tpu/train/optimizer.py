@@ -117,8 +117,8 @@ def make_optimizer(
 
     ``name='adamw'`` (default) is the reference's optimizer
     (``config_files/common/optim.py``).  Two opt-in memory reducers for
-    the 16GB v5e, where fp32 params + Adam states + grads OOM the
-    512x512 single-chip train step (~18.6GB):
+    the 16GB v5e (with them + remat + MADM_ASPP_SCAN=1 the 512x512
+    single-chip train step FITS and runs at ~1.3 s/step, measured r4):
 
     - ``mu_dtype='bfloat16'`` halves the first-moment memory (-1.7GB on
       the flagship).

@@ -58,7 +58,10 @@ def main():
         split_trainable,
     )
 
-    model = MADM(MADMConfig())  # full SD-v1.4, 512x512
+    # remat=True is how the shipped configs train (config_files set
+    # model.remat); MADMConfig's default is False, which silently probed
+    # the no-remat graph in the first r4 runs (16.87G best case)
+    model = MADM(MADMConfig(remat=True))  # full SD-v1.4, 512x512
     variables = model.init_params(jax.random.PRNGKey(0))
     trainable, _ = split_trainable(variables, model.cfg.finetune_unet)
     n_train = sum(x.size for x in jax.tree.leaves(trainable))
