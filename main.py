@@ -463,7 +463,10 @@ def build_model_and_state(cfg, args):
         max_iter=cfg.train.max_iter,
         grad_clip=cfg.train.get("grad_clip") or 0.01,
         unet_lr=opt.get("unet_lr"),
-        b1=opt.get("betas", (0.9, 0.999))[0],
+        # optimizer.no_momentum=True (adafactor only): classic momentumless
+        # Adafactor — drops the first-moment buffer (-1.7GB, single-chip)
+        b1=(None if opt.get("no_momentum")
+            else opt.get("betas", (0.9, 0.999))[0]),
         b2=opt.get("betas", (0.9, 0.999))[1],
         eps=opt.get("eps", 1e-8),
         mu_dtype=opt.get("mu_dtype"),

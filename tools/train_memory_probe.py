@@ -48,6 +48,9 @@ def main():
     ap.add_argument("--no-momentum", action="store_true",
                     help="classic Adafactor: drop the first-moment buffer "
                          "(-1.7GB on the flagship)")
+    ap.add_argument("--frozen-bf16", action="store_true",
+                    help="store the frozen (non-trainable: VAE/CLIP) params "
+                         "in bf16 (~-0.4GB; compute is bf16 anyway)")
     ap.add_argument("--xla-opt", action="append", default=[],
                     help="per-compile XLA option key=value (repeatable)")
     args = ap.parse_args()
@@ -63,7 +66,19 @@ def main():
     # the no-remat graph in the first r4 runs (16.87G best case)
     model = MADM(MADMConfig(remat=True))  # full SD-v1.4, 512x512
     variables = model.init_params(jax.random.PRNGKey(0))
-    trainable, _ = split_trainable(variables, model.cfg.finetune_unet)
+    trainable, frozen = split_trainable(variables, model.cfg.finetune_unet)
+    if args.frozen_bf16:
+        import jax.tree_util as tu
+
+        frozen_paths = {
+            tu.keystr(p) for p, _ in tu.tree_flatten_with_path(frozen)[0]
+        }
+        variables["params"] = tu.tree_map_with_path(
+            lambda p, x: (x.astype(jnp.bfloat16)
+                          if tu.keystr(p) in frozen_paths
+                          and x.dtype == jnp.float32 else x),
+            variables["params"],
+        )
     n_train = sum(x.size for x in jax.tree.leaves(trainable))
     print(f"trainable params: {n_train / 1e6:.1f}M   "
           f"opt={args.opt} mu_dtype={args.mu_dtype}", flush=True)
