@@ -202,20 +202,31 @@ def sep_branch_scan(
     """
     b, h, w, c = x.shape
     p = max(dilations)
-    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
 
     def body(carry, inp):
         d = inp["d"]
+        # pad INSIDE the body: as a scan-invariant closure the padded
+        # tensor (590 MB at 512^2) was held in 4 concurrent backward
+        # copies (outer-head-remat recompute + cotangent accumulation,
+        # measured in the bs-1 AdamW probe); per-iteration it is transient
+        xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
         dw_w = inp["dw_kernel"].astype(x.dtype)  # [3,3,1,C]
+        # tap accumulation in the compute dtype: an fp32 accumulator
+        # materializes a 1.0 GB buffer inside the while body at 512^2
+        # (measured); BN statistics are fp32 regardless (_bn_train), and
+        # the bf16 9-term sum differs from the conv lowering's internal
+        # fp32 accumulate by ~1 bf16 ulp — the fp32 tiny-config parity
+        # test is unaffected
         acc = None
         for oi in (-1, 0, 1):
             for oj in (-1, 0, 1):
                 win = jax.lax.dynamic_slice(
                     xp, (0, p + oi * d, p + oj * d, 0), (b, h, w, c)
                 )
-                term = (win * dw_w[oi + 1, oj + 1, 0]).astype(jnp.float32)
+                term = win * dw_w[oi + 1, oj + 1, 0]
                 acc = term if acc is None else acc + term
-        ydw, dw_mean, dw_var = _bn_train(acc, inp["dw_scale"], inp["dw_bias"],
+        ydw, dw_mean, dw_var = _bn_train(acc.astype(jnp.float32),
+                                         inp["dw_scale"], inp["dw_bias"],
                                          eps)
         ydw = jnp.maximum(ydw, 0.0).astype(x.dtype)
         pw_w = inp["pw_kernel"][0, 0].astype(x.dtype)  # [C, Co]
