@@ -116,9 +116,10 @@ def make_optimizer(
     """Optimizer over the *trainable* tree (vae excluded by the caller).
 
     ``name='adamw'`` (default) is the reference's optimizer
-    (``config_files/common/optim.py``).  Two opt-in memory reducers for
-    the 16GB v5e (with them + remat + MADM_ASPP_SCAN=1 the 512x512
-    single-chip train step FITS and runs at ~1.3 s/step, measured r4):
+    (``config_files/common/optim.py``).  Single-chip 16GB v5e memory
+    (measured r4, bs1 512^2 with remat + MADM_ASPP_SCAN=1): AdamW with
+    ``mu_dtype='bfloat16'`` FITS (1252 ms/step); the opt-in reducers
+    below widen the margin:
 
     - ``mu_dtype='bfloat16'`` halves the first-moment memory (-1.7GB on
       the flagship).
