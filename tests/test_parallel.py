@@ -213,14 +213,22 @@ def test_eval_group_sizing_pads_tail():
 
 
 @pytest.mark.slow
-def test_sharded_full_loss_train_step_with_zero1():
+@pytest.mark.parametrize("remat_scan", [False, True],
+                         ids=["noremat", "remat_scan"])
+def test_sharded_full_loss_train_step_with_zero1(remat_scan, monkeypatch):
     """The SHIPPED flagship loss graph under the 8-device mesh with ZeRO-1:
     vae_decoder_loss='st', reg_uncertain=True, s0 in out_features — the
     branches the driver dryrun intentionally trims for compile budget
     (round-3 verdict weak #2: no test compiled them under sharding).
     Asserts finite losses (incl. both decoder-regression losses) and
     data-axis-sharded optimizer moments.  Ref: mtmadise.py:249-254,327-333.
+
+    ``remat_scan`` additionally runs the production memory configuration:
+    remat=True + MADM_ASPP_SCAN=1 (the single-chip-16GB path, r4) under
+    the same mesh — remat + the scan-serialized ASPP backward composed
+    with ZeRO-1 sharding.
     """
+    monkeypatch.setenv("MADM_ASPP_SCAN", "1" if remat_scan else "0")
     from madm_tpu.parallel.mesh import (
         make_sharded_train_step,
         place_state,
@@ -246,6 +254,7 @@ def test_sharded_full_loss_train_step_with_zero1():
         vae_decoder_loss="st",
         lora_configs=("Depth_r16_a16",),
         compute_dtype=jnp.float32,
+        remat=remat_scan,
         train_palette=tuple(
             [70, 130, 180, 70, 70, 70, 190, 153, 153, 220, 20, 60,
              153, 153, 153]

@@ -70,25 +70,35 @@ def summarize(trace_dir: str, top: int = 40):
         name = e.get("name", "")
         if name.startswith(("process_", "thread_")):
             continue
+        args = e.get("args", {})
+        if name.startswith("jit_") and "run_id" in args:
+            continue  # whole-program envelope event, not an op
         total += dur
         per_op[name] += dur
-        args = e.get("args", {})
-        src = str(args.get("source_file", ""))
-        long_name = str(args.get("long_name", "")) + str(args.get("op_name", ""))
+        # newer profiler schema: 'tf_op' = the jit scope path
+        # (jit(eval_fn)/Encoder/mid_block/...), 'source'/'source_stack' =
+        # file:line; older traces used source_file/op_name/long_name
+        src = str(args.get("source_file", "")) + str(args.get("source", ""))
+        src += str(args.get("source_stack", ""))
+        long_name = (str(args.get("long_name", ""))
+                     + str(args.get("op_name", ""))
+                     + str(args.get("tf_op", "")))
         mod = "other"
-        for tag in ("vae.py", "unet.py", "daformer.py", "projections.py",
-                    "group_norm.py", "layers.py", "flash_attention.py",
-                    "attention.py", "madm.py"):
-            if tag in src or tag in long_name:
-                mod = tag
+        for tag, label in (
+            ("/Encoder/", "vae_encoder"), ("/Decoder/", "vae_decoder"),
+            ("/UNet", "unet"), ("/CondUNet", "unet"),
+            ("/DAFormerHead/", "head"),
+            ("/MultiScaleProjection/", "projections"),
+            ("flash_attention.py", "flash_attention"),
+            ("aspp.py", "aspp_kernel"),
+            ("vae.py", "vae"), ("unet.py", "unet"),
+            ("daformer.py", "head"), ("projections.py", "projections"),
+            ("fuse_layer", "head"), ("embed_", "head"),
+            ("conv_seg", "head"), ("bottleneck", "head"),
+        ):
+            if tag in long_name or tag in src:
+                mod = label
                 break
-        if mod == "other":
-            for tag in ("VAEEncoder", "VAEDecoder", "UNet", "DAFormer",
-                        "MultiScaleProjection", "fuse_layer", "embed_",
-                        "conv_seg", "aspp", "bottleneck"):
-                if tag in long_name or tag in name:
-                    mod = tag
-                    break
         per_mod[mod] += dur
     print(f"\n## total device time: {total:.4f}s over 4 iters")
     print("\n## by module:")
