@@ -753,28 +753,64 @@ class MADM:
         Differentiable, hence usable for ``slide_training``.  Like the
         reference's slide path it exposes only ``output_features`` (no
         decoder outputs — per-crop latents don't stitch)."""
+        import os
+
         assert not self.cfg.input_channel_plus, (
             "slide path does not compose with mask_diff conv_in surgery"
         )
         b, h, w, _ = images.shape
         windows = kw.pop("windows", None) or self.slide_windows(h, w)
-        crops = jnp.concatenate(
-            [images[:, y1:y2, x1:x2] for (y1, y2, x1, x2) in windows], axis=0
-        )
-        if kw.get("timesteps") is not None:
-            # per-image timesteps ride along to every window crop
-            # (eval_with_noise through the slide path, mtmadise.py:681-682)
-            kw["timesteps"] = jnp.tile(kw["timesteps"], len(windows))
-        feats = self.backbone_forward(variables, crops, **kw)["output_features"]
+
+        # TPU layout note: XLA's depthwise convs put the batch in the
+        # sublanes (8 rows), so backbone throughput peaks at batch
+        # multiples of 8 (measured: bs8 22.5 vs bs3 ~10 crops/s).
+        # 'batch' major runs ONE backbone call at batch B*n_win (best for
+        # small B, and the only mesh-shardable form); 'window' major runs
+        # n_win sequential calls at batch B (full sublane fill at B=8,
+        # and ~n_win x less peak activation memory).  'auto' follows the
+        # measured v5e table (r4, same-session): batch-1 calls are the
+        # fastest sub-8 shape (16.99 crops/s vs batch-3's ~10.3), so
+        # b==1 goes window-major (slide bs1: 13.44 vs 10.30 crops/s);
+        # b==2 measured a wash (10.16 vs 10.15); larger b goes
+        # window-major (batching the windows would overflow a sublane
+        # group — and batch-12 OOMs at compile).
+        major = os.environ.get("MADM_SLIDE_MAJOR", "auto")
+        if major == "auto":
+            major = "window" if (b == 1 or b * len(windows) > 8) else "batch"
+
+        if major == "window":
+            per_win = []
+            for (y1, y2, x1, x2) in windows:
+                per_win.append(self.backbone_forward(
+                    variables, images[:, y1:y2, x1:x2], **kw
+                )["output_features"])
+        else:
+            crops = jnp.concatenate(
+                [images[:, y1:y2, x1:x2] for (y1, y2, x1, x2) in windows],
+                axis=0,
+            )
+            if kw.get("timesteps") is not None:
+                # per-image timesteps ride along to every window crop
+                # (eval_with_noise through the slide path, mtmadise.py:681-682)
+                kw["timesteps"] = jnp.tile(kw["timesteps"], len(windows))
+            feats = self.backbone_forward(
+                variables, crops, **kw
+            )["output_features"]
+            per_win = [
+                {name: f[wi * b:(wi + 1) * b] for name, f in feats.items()}
+                for wi in range(len(windows))
+            ]
+
         stitched = {}
         for name, stride in zip(self.cfg.out_features, self._strides()):
-            f = feats[name]  # [B*n_win, ch/s, cw/s, C]
-            canvas = jnp.zeros((b, h // stride, w // stride, f.shape[-1]), f.dtype)
-            count = jnp.zeros((b, h // stride, w // stride, 1), f.dtype)
+            c0 = per_win[0][name].shape[-1]
+            dt = per_win[0][name].dtype
+            canvas = jnp.zeros((b, h // stride, w // stride, c0), dt)
+            count = jnp.zeros((b, h // stride, w // stride, 1), dt)
             for wi, (y1, y2, x1, x2) in enumerate(windows):
                 fy1, fy2 = y1 // stride, y2 // stride
                 fx1, fx2 = x1 // stride, x2 // stride
-                canvas = canvas.at[:, fy1:fy2, fx1:fx2].add(f[wi * b : (wi + 1) * b])
+                canvas = canvas.at[:, fy1:fy2, fx1:fx2].add(per_win[wi][name])
                 count = count.at[:, fy1:fy2, fx1:fx2].add(1.0)
             stitched[name] = canvas / count
         return {"output_features": stitched}
@@ -906,6 +942,11 @@ class MADM:
             and cfg.in_keys[0] == "s0"
             and image_shape[1] % 16 == 0
             and image_shape[2] % 128 == 0
+            # the fused kernels' row ring-buffers scale with width: at
+            # W=1024 (slide path's stitched features) the aspp_fused
+            # scratch is 172MB vs the 128MB VMEM budget (measured r4
+            # compile OOM) — wide inputs take the XLA module head
+            and image_shape[2] <= 512
         )
         if not shapes_ok:
             return "none"
