@@ -112,7 +112,8 @@ def main():
             return slide_fn_raw(variables, images).sum()
 
         for bs in (
-            int(s) for s in os.environ.get("MADM_BENCH_SLIDE_BS", "1,2").split(",")
+            int(s)
+            for s in os.environ.get("MADM_BENCH_SLIDE_BS", "1,2,4,8").split(",")
         ):
             try:
                 images = jnp.zeros((bs, 512, 1024, 3), jnp.float32)

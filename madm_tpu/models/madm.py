@@ -236,6 +236,22 @@ class PixelUnshuffleTower(nn.Module):
         return bn(x, "bn2")
 
 
+def _chunk_over_batch(fn, feats: Dict[str, jax.Array], chunk: int) -> jax.Array:
+    """Apply a per-image-independent ``fn`` over batch chunks and concat.
+
+    Bounds fn's internal activation footprint (the fused eval head's
+    full-res intermediates scale with B*H*W); exact for any fn that maps
+    each batch row independently (the head is)."""
+    b = next(iter(feats.values())).shape[0]
+    if b <= chunk:
+        return fn(feats)
+    parts = [
+        fn({k: v[i : i + chunk] for k, v in feats.items()})
+        for i in range(0, b, chunk)
+    ]
+    return jnp.concatenate(parts, axis=0)
+
+
 class MADM:
     """Module container + pure apply functions for the MADM model."""
 
@@ -942,16 +958,16 @@ class MADM:
             and cfg.in_keys[0] == "s0"
             and image_shape[1] % 16 == 0
             and image_shape[2] % 128 == 0
-            # the fused kernels' row ring-buffers scale with width: at
-            # W=1024 (slide path's stitched features) the aspp_fused
-            # scratch is 172MB vs the 128MB VMEM budget (measured r4
-            # compile OOM) — wide inputs take the XLA module head
-            and image_shape[2] <= 512
         )
         if not shapes_ok:
             return "none"
         if knob in ("auto", "aspp"):
-            # aspp_fused constraints: 4x256-ch embeds, dilations 1/6/12/18
+            # aspp_fused constraints: 4x256-ch embeds, dilations 1/6/12/18.
+            # Widths > 512 (the slide path's stitched features) run the
+            # same kernel over overlapping column strips
+            # (ops.aspp.aspp_fused_tiled) — the single-pass VMEM footprint
+            # scales with width (172MB at W=1024 vs the 128MB budget,
+            # measured r4 compile OOM).
             if (
                 tuple(self.head.dilations) == (1, 6, 12, 18)
                 and self.head.embed_dims == 256
@@ -959,6 +975,9 @@ class MADM:
                 and image_shape[1] % 8 == 0
             ):
                 return "aspp"
+            return "none"
+        # the opt-in 'full'/'argmax' kernels are untiled: full-width rings
+        if image_shape[2] > 512:
             return "none"
         if knob in ("1", "full") and (
             tuple(self.head.dilations) == (1, 6, 12, 18)
@@ -1008,6 +1027,8 @@ class MADM:
         """Head -> argmax ids [B, H, W], via the fused Pallas head where the
         static shape/config checks allow (shared by the single-crop and the
         sliding-window eval paths)."""
+        import os
+
         if self.cfg.concat_attention_to_conv_seg:
             # fused-head kernels don't model the concat slot; plain path
             logits = self.head_forward(
@@ -1023,10 +1044,20 @@ class MADM:
             p = variables["params"]["head_sec" if sec else "head"]
             bn = variables["state"]["head_sec_bn" if sec else "head_bn"]
             if mode == "aspp":
-                return aspp.aspp_head_forward(
-                    p, bn, feats, self.cfg.in_keys, self.cfg.num_classes,
+                head_fn = lambda f: aspp.aspp_head_forward(
+                    p, bn, f, self.cfg.in_keys, self.cfg.num_classes,
                     compute_dtype=self.cfg.compute_dtype,
                 )
+                # the head's full-res intermediates (4x256-ch embeds + the
+                # 1024-ch fused-branch concat) scale with B*H*W — 8.6 GB
+                # each at the slide path's stitched 512x1024 batch 8, the
+                # measured r4 stitched-head OOM.  Chunk the batch so each
+                # call stays within the proven bs8@512^2 footprint; chunks
+                # are per-image independent (argmax ids concat exactly).
+                pix = int(image_shape[1]) * int(image_shape[2])
+                budget = int(os.environ.get("MADM_HEAD_PIX_BUDGET",
+                                            str(8 * 512 * 512)))
+                return _chunk_over_batch(head_fn, feats, max(1, budget // pix))
             if mode == "full":
                 return aspp.fused_head_forward(
                     p, bn, feats, self.cfg.in_keys, self.cfg.num_classes,

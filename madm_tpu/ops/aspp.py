@@ -446,6 +446,59 @@ def aspp_fused(
     )(*embeds, zrows, dw_w, dw_b, pw_w, pw_s, pw_b, a0_w, a0_s, a0_b)
 
 
+_WHALO = 24  # column halo: >= max dilation 18, 8-aligned for the sublane dim
+
+
+def aspp_fused_tiled(
+    embeds: Sequence[jax.Array],
+    dw_w: jax.Array,
+    dw_s: jax.Array,
+    dw_b: jax.Array,
+    pw_w: jax.Array,
+    pw_s: jax.Array,
+    pw_b: jax.Array,
+    a0_w: jax.Array,
+    a0_s: jax.Array,
+    a0_b: jax.Array,
+    dilations: Tuple[int, ...] = (6, 12, 18),
+    w_tile: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """``aspp_fused`` over overlapping column strips.
+
+    The single-pass kernel's VMEM footprint scales with the image width
+    (ring slots + unrolled compute temporaries are full-width rows): the
+    proven 512-wide shape uses ~86 MB, the slide path's 1024-wide stitched
+    features need ~172 MB vs the 128 MB budget (measured r4 compile OOM).
+    The fuse layer is spatially local — receptive field max(dilations)=18
+    columns — so each strip of ``w_tile`` output columns is computed
+    exactly from a ``w_tile + 2*_WHALO`` input slice:
+
+    - interior strip edges: the kernel's zero x-shift padding corrupts
+      only columns < 18 from the strip edge, all inside the trimmed halo;
+    - true image edges: the slice starts/ends at the image boundary where
+      the kernel's zero padding IS the conv's zero padding (no trim).
+
+    Strip overlap cost at 1024/512: 2x536-wide strips = 4.7% extra
+    compute + one XLA slice copy of the embeds per strip.
+    """
+    b, h, w, ec = embeds[0].shape
+    if w <= w_tile:
+        return aspp_fused(embeds, dw_w, dw_s, dw_b, pw_w, pw_s, pw_b,
+                          a0_w, a0_s, a0_b, dilations, interpret=interpret)
+    assert w_tile % 8 == 0 and w_tile > 2 * _WHALO
+    outs = []
+    for o_lo in range(0, w, w_tile):
+        o_hi = min(o_lo + w_tile, w)
+        s_lo = max(o_lo - _WHALO, 0)
+        s_hi = min(o_hi + _WHALO, w)
+        strip = [e[:, :, s_lo:s_hi, :] for e in embeds]
+        out = aspp_fused(strip, dw_w, dw_s, dw_b, pw_w, pw_s, pw_b,
+                         a0_w, a0_s, a0_b, dilations, interpret=interpret)
+        outs.append(out[:, :, o_lo - s_lo : o_hi - s_lo, :])
+    return jnp.concatenate(outs, axis=2)
+
+
 # --------------------------------------------------------------- argmax head
 def _argmax_kernel(x_ref, w_ref, b_ref, o_ref, *, valid: int):
     x = x_ref[0]  # [R, W, C]
@@ -679,7 +732,7 @@ def aspp_head_forward(
         pw_s.append(s_pw)
         pw_b.append(b_pw)
 
-    fused = aspp_fused(
+    fused = aspp_fused_tiled(
         embeds,
         jnp.stack(dw_w).astype(jnp.float32),
         jnp.stack(dw_s).astype(jnp.float32),
@@ -691,6 +744,7 @@ def aspp_head_forward(
         s_a0.astype(jnp.float32),
         b_a0.astype(jnp.float32),
         dil,
+        w_tile=int(os.environ.get("MADM_ASPP_WTILE", "512")),
         interpret=interpret,
     )
 

@@ -209,6 +209,80 @@ def test_aspp_fused_matches_module_composition():
         )
 
 
+def test_aspp_fused_tiled_matches_untiled():
+    """Column-strip tiling (halo 24 >= dilation 18, trimmed) is exact:
+    tiled output == the single-pass kernel on the full width."""
+    from madm_tpu.ops.aspp import aspp_fused, aspp_fused_tiled
+
+    rng = np.random.default_rng(5)
+    B, H, W = 1, 16, 256
+    dil = (6, 12, 18)
+    C, PC = 256, 256
+    embeds = [jnp.asarray(rng.normal(size=(B, H, W, 128)).astype(np.float32))
+              for _ in range(2)]
+    f = lambda *shape: jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    args = (f(3, 3, 3, C), f(3, C), f(3, C), f(3, C, PC), f(3, PC), f(3, PC),
+            f(C, PC), f(PC), f(PC))
+    ref = aspp_fused(embeds, *args, dil, interpret=True)
+    for w_tile in (64, 128):  # edge + interior strips, and a 2-strip split
+        out = aspp_fused_tiled(embeds, *args, dil, w_tile=w_tile,
+                               interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-3)
+
+
+def test_aspp_head_forward_wide_width_tiles(monkeypatch):
+    """The 'aspp' eval head at a slide-path-like width (> the strip size)
+    routes through aspp_fused_tiled and still matches the Flax head."""
+    from madm_tpu.ops.aspp import aspp_head_forward
+
+    monkeypatch.setenv("MADM_ASPP_WTILE", "64")
+    rng = np.random.default_rng(6)
+    feats = {
+        "s0": jnp.asarray(rng.normal(size=(1, 16, 256, 32)).astype(np.float32)),
+        "s3": jnp.asarray(rng.normal(size=(1, 2, 32, 48)).astype(np.float32)),
+        "s4": jnp.asarray(rng.normal(size=(1, 2, 32, 64)).astype(np.float32)),
+        "s5": jnp.asarray(rng.normal(size=(1, 2, 32, 80)).astype(np.float32)),
+    }
+    head = DAFormerHead(in_keys=("s0", "s3", "s4", "s5"), num_classes=11,
+                        dtype=jnp.float32)
+    variables = head.init(jax.random.PRNGKey(0), feats)
+    params, bn = variables["params"], _jitter(variables["batch_stats"])
+    logits = head.apply({"params": params, "batch_stats": bn}, feats,
+                        train=False)
+    ref_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    ids = aspp_head_forward(params, bn, feats, ("s0", "s3", "s4", "s5"), 11,
+                            compute_dtype=jnp.float32, interpret=True)
+    match = float((ids == ref_ids).mean())
+    assert match > 0.999, match
+
+
+def test_chunk_over_batch_exact():
+    """Batch-chunked head dispatch (head_ids' stitched-memory bound) concats
+    to exactly the unchunked result, including a ragged tail chunk."""
+    from madm_tpu.models.madm import _chunk_over_batch
+    from madm_tpu.ops.aspp import aspp_head_forward
+
+    rng = np.random.default_rng(7)
+    feats = {
+        "s0": jnp.asarray(rng.normal(size=(3, 16, 128, 32)).astype(np.float32)),
+        "s3": jnp.asarray(rng.normal(size=(3, 2, 16, 48)).astype(np.float32)),
+        "s4": jnp.asarray(rng.normal(size=(3, 2, 16, 64)).astype(np.float32)),
+        "s5": jnp.asarray(rng.normal(size=(3, 2, 16, 80)).astype(np.float32)),
+    }
+    head = DAFormerHead(in_keys=("s0", "s3", "s4", "s5"), num_classes=11,
+                        dtype=jnp.float32)
+    variables = head.init(jax.random.PRNGKey(0), feats)
+    params, bn = variables["params"], _jitter(variables["batch_stats"])
+    fn = lambda f: aspp_head_forward(
+        params, bn, f, ("s0", "s3", "s4", "s5"), 11,
+        compute_dtype=jnp.float32, interpret=True,
+    )
+    full = fn(feats)
+    chunked = _chunk_over_batch(fn, feats, 2)  # chunks of 2 + ragged 1
+    np.testing.assert_array_equal(np.asarray(chunked), np.asarray(full))
+
+
 def test_aspp_head_forward_matches_flax_head():
     """'aspp' eval mode: module embeds + aspp_fused + XLA bottleneck/conv_seg
     must reproduce the Flax head's argmax ids."""
