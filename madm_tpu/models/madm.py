@@ -786,7 +786,8 @@ class MADM:
         # and ~n_win x less peak activation memory).  'auto' follows the
         # measured v5e table (r4, same-session): batch-1 calls are the
         # fastest sub-8 shape (16.99 crops/s vs batch-3's ~10.3), so
-        # b==1 goes window-major (slide bs1: 13.44 vs 10.30 crops/s);
+        # b==1 goes window-major (slide bs1: 18.18 with the tiled fused
+        # head vs 10.30 batch-major pre-tiling);
         # b==2 measured a wash (10.16 vs 10.15); larger b goes
         # window-major (batching the windows would overflow a sublane
         # group — and batch-12 OOMs at compile).
@@ -794,12 +795,22 @@ class MADM:
         if major == "auto":
             major = "window" if (b == 1 or b * len(windows) > 8) else "batch"
 
+        names_strides = tuple(zip(self.cfg.out_features, self._strides()))
+
         if major == "window":
-            per_win = []
-            for (y1, y2, x1, x2) in windows:
-                per_win.append(self.backbone_forward(
-                    variables, images[:, y1:y2, x1:x2], **kw
-                )["output_features"])
+            # interleaved stitch: each window's features are accumulated
+            # into the canvases right after its backbone call, so window
+            # k's full-resolution feature maps (s0 is stride 1!) are dead
+            # before window k+1's backbone runs — peak feature memory is
+            # one window's worth plus the canvases, not n_win windows'
+            # (the stash-then-stitch form OOM'd slide image-batch 8)
+            def per_win_iter():
+                for (y1, y2, x1, x2) in windows:
+                    yield (y1, y2, x1, x2), self.backbone_forward(
+                        variables, images[:, y1:y2, x1:x2], **kw
+                    )["output_features"]
+
+            per_win_iter = per_win_iter()
         else:
             crops = jnp.concatenate(
                 [images[:, y1:y2, x1:x2] for (y1, y2, x1, x2) in windows],
@@ -812,23 +823,39 @@ class MADM:
             feats = self.backbone_forward(
                 variables, crops, **kw
             )["output_features"]
-            per_win = [
-                {name: f[wi * b:(wi + 1) * b] for name, f in feats.items()}
-                for wi in range(len(windows))
-            ]
+            per_win_iter = (
+                (win, {name: f[wi * b:(wi + 1) * b] for name, f in feats.items()})
+                for wi, win in enumerate(windows)
+            )
 
-        stitched = {}
-        for name, stride in zip(self.cfg.out_features, self._strides()):
-            c0 = per_win[0][name].shape[-1]
-            dt = per_win[0][name].dtype
-            canvas = jnp.zeros((b, h // stride, w // stride, c0), dt)
-            count = jnp.zeros((b, h // stride, w // stride, 1), dt)
-            for wi, (y1, y2, x1, x2) in enumerate(windows):
+        canvases: Dict[str, jax.Array] = {}
+        # the overlap-count canvas is data-independent (windows are
+        # static) — build it in numpy at trace time and fold the
+        # divide into one broadcast multiply by its reciprocal (exact:
+        # counts are powers of two for the 1/2-overlap grid; feature
+        # values are unconstrained so / vs * rcp is the same rounding)
+        counts = {
+            name: np.zeros((1, h // stride, w // stride, 1), np.float32)
+            for name, stride in names_strides
+        }
+        for (y1, y2, x1, x2), feats_w in per_win_iter:
+            for name, stride in names_strides:
                 fy1, fy2 = y1 // stride, y2 // stride
                 fx1, fx2 = x1 // stride, x2 // stride
-                canvas = canvas.at[:, fy1:fy2, fx1:fx2].add(per_win[wi][name])
-                count = count.at[:, fy1:fy2, fx1:fx2].add(1.0)
-            stitched[name] = canvas / count
+                if name not in canvases:
+                    canvases[name] = jnp.zeros(
+                        (b, h // stride, w // stride, feats_w[name].shape[-1]),
+                        feats_w[name].dtype,
+                    )
+                canvases[name] = canvases[name].at[:, fy1:fy2, fx1:fx2].add(
+                    feats_w[name]
+                )
+                counts[name][:, fy1:fy2, fx1:fx2] += 1.0
+        stitched = {
+            name: canvases[name]
+            * jnp.asarray(1.0 / counts[name], canvases[name].dtype)
+            for name, _ in names_strides
+        }
         return {"output_features": stitched}
 
     # --------------------------------------------------------------- head
@@ -1052,12 +1079,21 @@ class MADM:
                 # 1024-ch fused-branch concat) scale with B*H*W — 8.6 GB
                 # each at the slide path's stitched 512x1024 batch 8, the
                 # measured r4 stitched-head OOM.  Chunk the batch so each
-                # call stays within the proven bs8@512^2 footprint; chunks
-                # are per-image independent (argmax ids concat exactly).
+                # call stays bounded; chunks are per-image independent
+                # (argmax ids concat exactly).  Wide (stitched) inputs
+                # default to ONE image per head call: alongside the slide
+                # path's backbone + canvases, 4-image chunks still failed
+                # the bs8 512x1024 compile while 1-image chunks fit and
+                # measured 21.3 crops/s (r4, vs 18.2 at image-bs 1).
                 pix = int(image_shape[1]) * int(image_shape[2])
-                budget = int(os.environ.get("MADM_HEAD_PIX_BUDGET",
-                                            str(8 * 512 * 512)))
-                return _chunk_over_batch(head_fn, feats, max(1, budget // pix))
+                budget_env = os.environ.get("MADM_HEAD_PIX_BUDGET")
+                if budget_env is not None:
+                    chunk = max(1, int(budget_env) // pix)
+                elif int(image_shape[2]) > 512:
+                    chunk = 1
+                else:
+                    chunk = max(1, (8 * 512 * 512) // pix)
+                return _chunk_over_batch(head_fn, feats, chunk)
             if mode == "full":
                 return aspp.fused_head_forward(
                     p, bn, feats, self.cfg.in_keys, self.cfg.num_classes,
