@@ -13,13 +13,22 @@ batch-1-eager efficiencies ≈ 74 ms/crop ≈ 13.5 crops/s, held at the
 conservative 12.5 — see BASELINE.md "Derived A100 reference throughput"
 for the full table.  Kept fixed across rounds so the trend is comparable.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} — the line
+is UNCONDITIONAL: a wall-clock budget (``MADM_BENCH_BUDGET_S``, default 480)
+bounds the sweep, remaining legs are skipped once it is exceeded, and
+SIGTERM/SIGALRM (e.g. the driver's ``timeout``) still land the JSON with
+whatever was measured (r4 lesson: one cold compile killed the whole
+artifact, BENCH_r04.json rc=124/parsed=null).
+
+Env knobs: MADM_BENCH_BS, MADM_BENCH_SLIDE(_BS), MADM_BENCH_TRAIN=1 (opt-in
+train-step leg), MADM_ATTENTION=xla|pallas, MADM_PARAM_DTYPE=bfloat16.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -29,7 +38,61 @@ import jax.numpy as jnp
 BASELINE_CROPS_PER_SEC_PER_CHIP = 12.5  # estimated A100 batch-1 eager rate
 
 
+class _BudgetExceeded(Exception):
+    pass
+
+
 def main():
+    budget_s = float(os.environ.get("MADM_BENCH_BUDGET_S", "480"))
+    t_start = time.monotonic()
+
+    def left() -> float:
+        return budget_s - (time.monotonic() - t_start)
+
+    # results are accumulated here and emitted exactly once, no matter how
+    # the sweep dies (budget, OOM, SIGTERM, wedged chip)
+    res = {"best": 0.0, "best_bs": 0, "slide": 0.0, "slide_bs": 0,
+           "train_ms": 0.0}
+    emitted = [False]
+
+    def emit():
+        if emitted[0]:
+            return
+        emitted[0] = True
+        out = {
+            "metric": "512x512 seg crops/sec/chip (VAE+UNet feature pass + head)",
+            "value": round(res["best"], 3),
+            "unit": f"crops/s/chip (best batch={res['best_bs']}, bf16)",
+            "vs_baseline": round(res["best"] / BASELINE_CROPS_PER_SEC_PER_CHIP, 3),
+            "slide_crops_per_sec_per_chip": round(res["slide"], 3),
+            "slide_batch": res["slide_bs"],
+        }
+        if res["train_ms"]:
+            out["train_ms_per_step_bs1_512"] = round(res["train_ms"], 1)
+        print(json.dumps(out), flush=True)
+
+    def _on_term(signum, frame):  # driver timeout: emit before dying
+        raise _BudgetExceeded(f"signal {signum}")
+
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGALRM, _on_term)
+    # hard alarm slightly inside the budget: even a wedged blocking fetch
+    # gets interrupted in time to print the JSON line
+    signal.alarm(max(1, int(budget_s)))
+
+    try:
+        _run_legs(res, left)
+    except _BudgetExceeded as e:
+        print(f"# budget exceeded: {e}", file=sys.stderr)
+    except Exception as e:
+        msg = str(e).splitlines()[0][:300] if str(e) else ""
+        print(f"# bench aborted: {type(e).__name__}: {msg}", file=sys.stderr)
+    finally:
+        signal.alarm(0)
+        emit()
+
+
+def _run_legs(res, left):
     # persistent compilation cache (shared with __graft_entry__): the fused
     # ASPP head's Mosaic compile is minutes cold — prewarmed during the
     # round, the driver's bench run loads the cached executable in seconds
@@ -45,8 +108,6 @@ def main():
     from madm_tpu.models.madm import MADM, MADMConfig
     from madm_tpu.ops.attention import set_default_attention_impl
 
-    # env knobs for perf sweeps: MADM_ATTENTION=xla|pallas,
-    # MADM_PARAM_DTYPE=float32|bfloat16 (default: pallas on TPU)
     if os.environ.get("MADM_ATTENTION"):
         set_default_attention_impl(os.environ["MADM_ATTENTION"])
 
@@ -67,12 +128,17 @@ def main():
         # NOTE: on the tunneled 'axon' platform block_until_ready() does not
         # block — timing must fetch a device scalar
 
-    best = 0.0
-    best_bs = 0
+    # reserve headroom per leg: a cold fused-head compile on this stack is
+    # minutes; never start a leg that can't finish inside the budget
+    leg_margin = float(os.environ.get("MADM_BENCH_LEG_MARGIN_S", "45"))
+
     sweep = tuple(
         int(s) for s in os.environ.get("MADM_BENCH_BS", "1,4,8,12").split(",")
     )
     for bs in sweep:
+        if left() < leg_margin:
+            print(f"# budget: skipping single-crop bs>={bs}", file=sys.stderr)
+            break
         try:
             images = jnp.zeros((bs, 512, 512, 3), jnp.float32)
             float(eval_fn(variables, images))  # compile + warmup (fetch syncs)
@@ -86,8 +152,10 @@ def main():
             rate = bs * iters / dt
             print(f"# bs={bs}: {rate:.2f} crops/s ({dt / iters * 1e3:.1f} ms/iter)",
                   file=sys.stderr)
-            if rate > best:
-                best, best_bs = rate, bs
+            if rate > res["best"]:
+                res["best"], res["best_bs"] = rate, bs
+        except _BudgetExceeded:
+            raise
         except Exception as e:  # OOM at large batch: keep best so far
             # first line only — the XLA OOM report appends a multi-page
             # HLO-temp allocation dump that drowns the recorded evidence
@@ -100,8 +168,6 @@ def main():
     # 512x1024 images -> 3 batched 512^2 window crops per image,
     # feature_extractor.py:199-278).  Reported as crops/s/chip so it is
     # directly comparable to the single-crop sweep.  MADM_BENCH_SLIDE=0 skips.
-    slide_rate = 0.0
-    slide_bs = 0
     if os.environ.get("MADM_BENCH_SLIDE", "1") != "0":
         from madm_tpu.evaluation.inference import make_slide_eval_fn
 
@@ -115,6 +181,9 @@ def main():
             int(s)
             for s in os.environ.get("MADM_BENCH_SLIDE_BS", "1,2,4,8").split(",")
         ):
+            if left() < leg_margin:
+                print(f"# budget: skipping slide bs>={bs}", file=sys.stderr)
+                break
             try:
                 images = jnp.zeros((bs, 512, 1024, 3), jnp.float32)
                 float(slide_fn(variables, images))
@@ -131,22 +200,40 @@ def main():
                     f"({dt / iters * 1e3:.1f} ms/img-batch)",
                     file=sys.stderr,
                 )
-                if rate > slide_rate:
-                    slide_rate, slide_bs = rate, bs
+                if rate > res["slide"]:
+                    res["slide"], res["slide_bs"] = rate, bs
+            except _BudgetExceeded:
+                raise
             except Exception as e:
                 msg = str(e).splitlines()[0][:300] if str(e) else ""
                 print(f"# slide bs={bs} failed: {type(e).__name__}: {msg}",
                       file=sys.stderr)
                 break
 
-    print(json.dumps({
-        "metric": "512x512 seg crops/sec/chip (VAE+UNet feature pass + head)",
-        "value": round(best, 3),
-        "unit": f"crops/s/chip (best batch={best_bs}, bf16)",
-        "vs_baseline": round(best / BASELINE_CROPS_PER_SEC_PER_CHIP, 3),
-        "slide_crops_per_sec_per_chip": round(slide_rate, 3),
-        "slide_batch": slide_bs,
-    }))
+    # opt-in train-step leg (VERDICT r4 #4): ms/step for the shipped 512^2
+    # bs1 single-chip training configuration (remat + scan-serialized ASPP,
+    # AdamW bf16 first moment — the measured 16GB-fit config, STATUS r4)
+    if os.environ.get("MADM_BENCH_TRAIN") == "1" and left() > leg_margin:
+        try:
+            import gc
+
+            # the train step needs ~15 of the 16GB: release the eval
+            # model's device arrays first (same process — never run two
+            # TPU clients at once on this host)
+            del variables, model
+            gc.collect()
+            from tools.train_memory_probe import run_probe
+
+            res["train_ms"] = run_probe(
+                opt="adamw", mu_dtype="bfloat16", steps=4, quiet=True)
+            print(f"# train: {res['train_ms']:.0f} ms/step (bs1 512^2 adamw)",
+                  file=sys.stderr)
+        except _BudgetExceeded:
+            raise
+        except Exception as e:
+            msg = str(e).splitlines()[0][:300] if str(e) else ""
+            print(f"# train leg failed: {type(e).__name__}: {msg}",
+                  file=sys.stderr)
 
 
 if __name__ == "__main__":

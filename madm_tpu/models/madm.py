@@ -805,9 +805,19 @@ class MADM:
             # one window's worth plus the canvases, not n_win windows'
             # (the stash-then-stitch form OOM'd slide image-batch 8)
             def per_win_iter():
-                for (y1, y2, x1, x2) in windows:
+                for wi, (y1, y2, x1, x2) in enumerate(windows):
+                    kw_w = kw
+                    if kw.get("latent_noise_rng") is not None:
+                        # each window crop draws independent latent noise,
+                        # matching the batch-major path where every crop is
+                        # a distinct batch row (advisor r4: reusing one key
+                        # gave all windows identical noise)
+                        kw_w = dict(kw)
+                        kw_w["latent_noise_rng"] = jax.random.fold_in(
+                            kw["latent_noise_rng"], wi
+                        )
                     yield (y1, y2, x1, x2), self.backbone_forward(
-                        variables, images[:, y1:y2, x1:x2], **kw
+                        variables, images[:, y1:y2, x1:x2], **kw_w
                     )["output_features"]
 
             per_win_iter = per_win_iter()

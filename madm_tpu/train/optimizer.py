@@ -131,6 +131,12 @@ def make_optimizer(
       lr (5e-6) applies unchanged.  NOT the reference optimizer — a
       documented deviation for single-chip training.
     """
+    if b1 is None and name != "adafactor":
+        raise ValueError(
+            "optimizer.no_momentum (b1=None) only applies to "
+            "name='adafactor'; adamw requires a first-moment beta "
+            f"(got name={name!r})"
+        )
     sched = get_lr_schedule(base_lr, max_iter, schedule)
     if name == "adafactor":
         adamw = optax.adafactor(

@@ -149,8 +149,14 @@ class WriterStack:
 
     def maybe_write(self, storage: EventStorage) -> None:
         if (storage.iter + 1) % self.period == 0:
-            for w in self.writers:
-                w.write(storage)
+            self.write(storage)
+
+    def write(self, storage: EventStorage) -> None:
+        """Unconditional flush — used after eval so its scalars always land
+        in metrics.json/wandb (reference EvalHook flattens results into
+        EventStorage at every eval iter, ``engine/hooks.py:16-52``)."""
+        for w in self.writers:
+            w.write(storage)
 
     def close(self) -> None:
         for w in self.writers:

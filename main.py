@@ -657,10 +657,30 @@ def do_train(cfg, args):
             pending = (it, dev_metrics, t1 - t0, t2 - t_last)
             t_last = t2
             maybe_vis(it, state, batch, step_rng)
+            is_ckpt_iter = ((it + 1) % periodic.period == 0
+                            or it + 1 == cfg.train.max_iter)
+            is_eval_iter = ((it + 1) % cfg.train.eval_period == 0
+                            or it + 1 == cfg.train.max_iter)
+            if pending is not None and (is_ckpt_iter or is_eval_iter):
+                # validate this iter's metrics BEFORE saving/evaluating so a
+                # NaN-poisoned state never lands in a checkpoint (the fetch
+                # is forced here anyway — do_test/save both sync the device)
+                flush(pending)
+                pending = None
             periodic.step(it, state)
-            if (it + 1) % cfg.train.eval_period == 0 or it + 1 == cfg.train.max_iter:
+            if is_eval_iter:
                 results = do_test(cfg, model, state, args, iteration=it + 1)
                 best.step(results, state)
+                if results:
+                    # flatten eval metrics into EventStorage so they reach
+                    # metrics.json/wandb like every other scalar (reference
+                    # EvalHook, engine/hooks.py:16-52)
+                    storage.put_scalars(**{
+                        f"eval/{k}": float(v)
+                        for k, v in results.items()
+                        if isinstance(v, (int, float)) and np.isfinite(float(v))
+                    })
+                    writers.write(storage)
         if pending is not None:
             flush(pending)
             pending = None
@@ -668,7 +688,9 @@ def do_train(cfg, args):
         if pending is not None:  # surface the last step's metrics on error
             try:
                 flush(pending)
-            except FloatingPointError:
+            except Exception:
+                # never mask the primary traceback (device-side errors can
+                # surface from float() here, not just FloatingPointError)
                 pass
         writers.close()
     return state

@@ -8,8 +8,6 @@ module graph re-expressed (fp32: equal up to reassociation of the
 9-tap depthwise sum vs the conv lowering).
 """
 
-import os
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -26,8 +24,8 @@ def data():
     return m, v, x
 
 
-def _run(m, v, x, scan: bool):
-    os.environ["MADM_ASPP_SCAN"] = "1" if scan else "0"
+def _run(m, v, x, scan: bool, monkeypatch):
+    monkeypatch.setenv("MADM_ASPP_SCAN", "1" if scan else "0")
 
     def loss(params):
         out, mut = m.apply(
@@ -40,11 +38,11 @@ def _run(m, v, x, scan: bool):
     return l, out, bn, grads
 
 
-def test_scan_variable_tree_identical(data):
+def test_scan_variable_tree_identical(data, monkeypatch):
     m, v, x = data
-    os.environ["MADM_ASPP_SCAN"] = "1"
+    monkeypatch.setenv("MADM_ASPP_SCAN", "1")
     v_scan = m.init(jax.random.PRNGKey(0), x, True)
-    os.environ["MADM_ASPP_SCAN"] = "0"
+    monkeypatch.setenv("MADM_ASPP_SCAN", "0")
     flat_a = jax.tree_util.tree_flatten_with_path(v)[0]
     flat_b = jax.tree_util.tree_flatten_with_path(v_scan)[0]
     assert [p for p, _ in flat_a] == [p for p, _ in flat_b]
@@ -52,11 +50,10 @@ def test_scan_variable_tree_identical(data):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(pa))
 
 
-def test_scan_matches_module_path(data):
+def test_scan_matches_module_path(data, monkeypatch):
     m, v, x = data
-    l0, out0, bn0, g0 = _run(m, v, x, scan=False)
-    l1, out1, bn1, g1 = _run(m, v, x, scan=True)
-    os.environ["MADM_ASPP_SCAN"] = "0"
+    l0, out0, bn0, g0 = _run(m, v, x, scan=False, monkeypatch=monkeypatch)
+    l1, out1, bn1, g1 = _run(m, v, x, scan=True, monkeypatch=monkeypatch)
     np.testing.assert_allclose(l1, l0, rtol=2e-5)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out0),
                                rtol=2e-4, atol=2e-5)
@@ -74,10 +71,10 @@ def test_scan_matches_module_path(data):
                                    rtol=5e-4, atol=5e-6, err_msg=str(pa))
 
 
-def test_scan_eval_mode_unaffected(data):
+def test_scan_eval_mode_unaffected(data, monkeypatch):
     m, v, x = data
-    os.environ["MADM_ASPP_SCAN"] = "1"
+    monkeypatch.setenv("MADM_ASPP_SCAN", "1")
     out_flag = m.apply(v, x, False)
-    os.environ["MADM_ASPP_SCAN"] = "0"
+    monkeypatch.setenv("MADM_ASPP_SCAN", "0")
     out_base = m.apply(v, x, False)
     np.testing.assert_array_equal(np.asarray(out_flag), np.asarray(out_base))

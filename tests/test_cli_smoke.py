@@ -102,6 +102,13 @@ def test_main_debug_train_and_eval(data_root, run_dir):
     assert "metrics.json" in files, sorted(files)
     # iter-2 eval found a first best -> BestCheckpointer saved model_best
     assert any(f.startswith("model_best") for f in files), sorted(files)
+    # eval results are flattened into EventStorage and force-written, so
+    # mIoU lands in metrics.json like every other scalar (reference
+    # EvalHook, engine/hooks.py:16-52)
+    rows = [json.loads(line)
+            for line in (next(p for p in run_dir.rglob("metrics.json"))
+                         ).read_text().splitlines()]
+    assert any("eval/mIoU" in r for r in rows), rows
 
 
 def test_main_eval_only_init_from_best(data_root, run_dir, tmp_path):
