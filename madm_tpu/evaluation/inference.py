@@ -145,6 +145,7 @@ def inference_on_dataset(
     eval_with_noise: Optional[int] = None,
     warmup: int = 2,
     mesh=None,
+    batch: int = 1,
 ) -> Dict:
     """Run eval over a TestLoader shard, feed the evaluator, return metrics.
 
@@ -155,10 +156,18 @@ def inference_on_dataset(
     process contributes its process-local slice of every group (the loader
     holds only this process's test shard).
 
+    ``batch`` > 1 groups that many images per chip per dispatch (the
+    reference loops batch-1 eager, ``evaluation/evaluator.py:79-102``; on
+    v5e batch 8 fills the sublanes — same tail-padding/discard mechanics,
+    identical confusion matrix; ``MADM_EVAL_BATCH`` wires it through
+    ``main.py do_test``).
+
     Logs data/compute split timing like the reference driver
     (``evaluation/evaluator.py:56-132``)."""
     n_proc = jax.process_count()
-    group_global = 1 if mesh is None else max(1, mesh.shape.get("data", 1))
+    group_global = max(1, batch) * (
+        1 if mesh is None else max(1, mesh.shape.get("data", 1))
+    )
     assert group_global % n_proc == 0, (group_global, n_proc)
     group = group_global // n_proc  # this process's rows per dispatch
     eval_fn = (

@@ -506,6 +506,9 @@ def do_test(cfg, model, state, args, iteration=0):
         loader,
         evaluator,
         mesh=mesh,
+        # single-chip: group MADM_EVAL_BATCH images per dispatch (v5e
+        # sublane fill at 8; default 1 = reference batch-1 protocol)
+        batch=int(os.environ.get("MADM_EVAL_BATCH", "1")),
         lora_name=model.cfg.target_modality if model.lora_specs else None,
         slide_inference=args.slide_inference,
         eval_with_noise=(

@@ -43,6 +43,7 @@ _SLOW_MODULES = {
     "test_eval_pipeline",
     "test_pipeline_golden",
     "test_torch_golden",
+    "test_fullwidth_golden",
     "test_daformer_golden",
     "test_ldm_extractor",
     "test_fused_head",

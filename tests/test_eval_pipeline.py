@@ -74,6 +74,13 @@ def test_mesh_sharded_eval_matches_single_device(dataset):
     inference_on_dataset(model, variables, TestLoader(dataset), ev2, mesh=mesh)
     np.testing.assert_array_equal(conf1, ev2._conf_matrix)
 
+    # single-chip batching (MADM_EVAL_BATCH / bench e2e path): batch=2 over
+    # 3 images — tail group padded by repetition, padding discarded
+    ev3 = DSECSemSegEvaluator(stuff_classes=[f"c{i}" for i in range(5)])
+    inference_on_dataset(model, variables, TestLoader(dataset), ev3, batch=2)
+    np.testing.assert_array_equal(conf1, ev3._conf_matrix)
+    assert ev3.eval_index == 3
+
 
 def test_test_loader_sharding(dataset):
     l0 = TestLoader(dataset, shard_index=0, num_shards=2)

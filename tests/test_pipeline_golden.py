@@ -63,7 +63,7 @@ class TUNetCondTime(TUNet):
     time MLP (reference ``ldm_diffusers.py:506-509``)."""
 
     def forward(self, x, t, ctx, cond_time=None, taps=(5, 8, 11)):
-        half = CH[0] // 2
+        half = self.ch[0] // 2
         freq = torch.exp(
             -math.log(10000) * torch.arange(half, dtype=torch.float32) / half
         )

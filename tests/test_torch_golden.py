@@ -136,11 +136,11 @@ class TTransformer2D(tnn.Module):
 
 
 class TDown(tnn.Module):
-    def __init__(self, cin, cout, temb, attn, last):
+    def __init__(self, cin, cout, temb, attn, last, heads=HEADS):
         super().__init__()
         self.resnets = tnn.ModuleList([TResnet(cin, cout, temb), TResnet(cout, cout, temb)])
         if attn:
-            self.attentions = tnn.ModuleList([TTransformer2D(cout, HEADS) for _ in range(2)])
+            self.attentions = tnn.ModuleList([TTransformer2D(cout, heads) for _ in range(2)])
         if not last:
             self.downsamplers = tnn.ModuleList([tnn.Module()])
             self.downsamplers[0].conv = tnn.Conv2d(cout, cout, 3, stride=2, padding=1)
@@ -160,7 +160,7 @@ class TDown(tnn.Module):
 
 
 class TUp(tnn.Module):
-    def __init__(self, cin_skip3, cprev, cout, temb, attn, last):
+    def __init__(self, cin_skip3, cprev, cout, temb, attn, last, heads=HEADS):
         # cin per resnet = prev_out + popped skip channels
         super().__init__()
         self.resnets = tnn.ModuleList()
@@ -172,7 +172,7 @@ class TUp(tnn.Module):
             self.resnets.append(TResnet(prev + cin_skip3[j], cout, temb))
             prev = cout
         if attn:
-            self.attentions = tnn.ModuleList([TTransformer2D(cout, HEADS) for _ in range(3)])
+            self.attentions = tnn.ModuleList([TTransformer2D(cout, heads) for _ in range(3)])
         if not last:
             self.upsamplers = tnn.ModuleList([tnn.Module()])
             self.upsamplers[0].conv = tnn.Conv2d(cout, cout, 3, padding=1)
@@ -190,43 +190,48 @@ class TUp(tnn.Module):
 
 
 class TUNet(tnn.Module):
-    """diffusers UNet2DConditionModel semantics at tiny widths."""
+    """diffusers UNet2DConditionModel semantics, width-parameterized
+    (defaults = the tiny test widths; ``test_fullwidth_golden.py`` builds
+    the real SD-v1.4 320/640/1280/1280)."""
 
-    def __init__(self):
+    def __init__(self, ch=CH, heads=HEADS):
         super().__init__()
-        temb = CH[0] * 4
-        self.conv_in = tnn.Conv2d(4, CH[0], 3, padding=1)
+        self.ch = ch
+        temb = ch[0] * 4
+        self.conv_in = tnn.Conv2d(4, ch[0], 3, padding=1)
         self.time_embedding = tnn.Module()
-        self.time_embedding.linear_1 = tnn.Linear(CH[0], temb)
+        self.time_embedding.linear_1 = tnn.Linear(ch[0], temb)
         self.time_embedding.linear_2 = tnn.Linear(temb, temb)
-        downs, prev = [], CH[0]
-        for i, c in enumerate(CH):
-            downs.append(TDown(prev, c, temb, attn=i < 3, last=i == 3))
+        downs, prev = [], ch[0]
+        for i, c in enumerate(ch):
+            downs.append(TDown(prev, c, temb, attn=i < 3, last=i == 3,
+                               heads=heads))
             prev = c
         self.down_blocks = tnn.ModuleList(downs)
         self.mid_block = tnn.Module()
-        self.mid_block.resnets = tnn.ModuleList([TResnet(CH[-1], CH[-1], temb),
-                                                 TResnet(CH[-1], CH[-1], temb)])
-        self.mid_block.attentions = tnn.ModuleList([TTransformer2D(CH[-1], HEADS)])
+        self.mid_block.resnets = tnn.ModuleList([TResnet(ch[-1], ch[-1], temb),
+                                                 TResnet(ch[-1], ch[-1], temb)])
+        self.mid_block.attentions = tnn.ModuleList([TTransformer2D(ch[-1], heads)])
         ups = []
-        rev = list(reversed(CH))  # (128, 128, 64, 32)
+        rev = list(reversed(ch))  # e.g. (128, 128, 64, 32)
         # skip channels per up resnet, popped from the down stack
-        skip_stack = [CH[0]]
-        for i, c in enumerate(CH):
+        skip_stack = [ch[0]]
+        for i, c in enumerate(ch):
             skip_stack += [c, c]
             if i != 3:
                 skip_stack.append(c)
-        prev = CH[-1]
+        prev = ch[-1]
         for i, c in enumerate(rev):
             skips = [skip_stack.pop(), skip_stack.pop(), skip_stack.pop()]
-            ups.append(TUp(skips, prev, c, temb, attn=i > 0, last=i == 3))
+            ups.append(TUp(skips, prev, c, temb, attn=i > 0, last=i == 3,
+                           heads=heads))
             prev = c
         self.up_blocks = tnn.ModuleList(ups)
-        self.conv_norm_out = tnn.GroupNorm(32, CH[0], eps=1e-5)
-        self.conv_out = tnn.Conv2d(CH[0], 4, 3, padding=1)
+        self.conv_norm_out = tnn.GroupNorm(32, ch[0], eps=1e-5)
+        self.conv_out = tnn.Conv2d(ch[0], 4, 3, padding=1)
 
     def forward(self, x, t, ctx, taps=(5, 8, 11)):
-        half = CH[0] // 2
+        half = self.ch[0] // 2
         freq = torch.exp(-math.log(10000) * torch.arange(half, dtype=torch.float32) / half)
         ang = t.float()[:, None] * freq[None]
         t_emb = torch.cat([torch.cos(ang), torch.sin(ang)], dim=-1)  # flip_sin_to_cos
@@ -314,11 +319,11 @@ class TMid(tnn.Module):
 
 
 class TVaeEncoder(tnn.Module):
-    def __init__(self):
+    def __init__(self, vch=VCH):
         super().__init__()
-        self.conv_in = tnn.Conv2d(3, VCH[0], 3, padding=1)
-        blocks, prev = [], VCH[0]
-        for i, c in enumerate(VCH):
+        self.conv_in = tnn.Conv2d(3, vch[0], 3, padding=1)
+        blocks, prev = [], vch[0]
+        for i, c in enumerate(vch):
             b = tnn.Module()
             b.resnets = tnn.ModuleList([TResnet(prev, c, None, eps=1e-6),
                                         TResnet(c, c, None, eps=1e-6)])
@@ -328,9 +333,9 @@ class TVaeEncoder(tnn.Module):
             blocks.append(b)
             prev = c
         self.down_blocks = tnn.ModuleList(blocks)
-        self.mid_block = TMid(VCH[-1])
-        self.conv_norm_out = tnn.GroupNorm(32, VCH[-1], eps=1e-6)
-        self.conv_out = tnn.Conv2d(VCH[-1], 8, 3, padding=1)
+        self.mid_block = TMid(vch[-1])
+        self.conv_norm_out = tnn.GroupNorm(32, vch[-1], eps=1e-6)
+        self.conv_out = tnn.Conv2d(vch[-1], 8, 3, padding=1)
 
     def forward(self, x):
         x = self.conv_in(x)
@@ -344,9 +349,9 @@ class TVaeEncoder(tnn.Module):
 
 
 class TVaeDecoder(tnn.Module):
-    def __init__(self):
+    def __init__(self, vch=VCH):
         super().__init__()
-        rev = list(reversed(VCH))  # (64, 64, 32, 32)
+        rev = list(reversed(vch))  # e.g. (64, 64, 32, 32)
         self.conv_in = tnn.Conv2d(4, rev[0], 3, padding=1)
         self.mid_block = TMid(rev[0])
         blocks, prev = [], rev[0]

@@ -22,6 +22,14 @@ import sys
 import time
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  __import__("os").path.join(
+                      __import__("os").path.dirname(
+                          __import__("os").path.abspath(__file__)),
+                      "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 import jax.numpy as jnp
 
 
