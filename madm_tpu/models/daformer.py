@@ -174,6 +174,30 @@ def _bn_train(xf: jax.Array, scale, bias, eps: float = 1e-5):
     return (xf - mean) * mul + bias.astype(jnp.float32), mean, var
 
 
+def _bn_stats(x: jax.Array):
+    """fp32 batch mean/var of a compute-dtype tensor via dtype'd reductions
+    (fp32 accumulators over the raw input — no full-size fp32 tensor exists
+    in forward or backward; an explicit ``astype(f32)`` materialized its
+    1.0 GB cotangent inside the scan-branch backward, r5 OOM dump).  The
+    square is taken in the compute dtype before the fp32 accumulate — in
+    fp32 configs (tests) this is exact; in bf16 it shifts var by ~1 ulp²,
+    same order as the conv lowering's reassociation."""
+    mean = jnp.mean(x, axis=(0, 1, 2), dtype=jnp.float32)
+    var = jnp.mean(jnp.square(x), axis=(0, 1, 2), dtype=jnp.float32)
+    var = jnp.maximum(0.0, var - mean * mean)
+    return mean, var
+
+
+def _bn_apply_relu(x: jax.Array, mean, var, scale, bias, eps: float = 1e-5):
+    """BN-normalize + ReLU applied IN THE COMPUTE DTYPE as a per-channel
+    scale+shift (scale/shift formed in fp32).  Keeps every full-size tensor
+    in x.dtype — the fp32 normalize chain materialized 3x 1.08 GB
+    conv-layout fp32 temps in the scan backward at 512^2 (r5 OOM dump)."""
+    mul = jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32)
+    shift = bias.astype(jnp.float32) - mean * mul
+    return jnp.maximum(x * mul.astype(x.dtype) + shift.astype(x.dtype), 0.0)
+
+
 def sep_branch_scan(
     x: jax.Array,  # [B,H,W,C] compute dtype
     dilations,  # static tuple of the scanned dilations (e.g. (6, 12, 18))
@@ -190,57 +214,139 @@ def sep_branch_scan(
     separate computation: one branch's working set is live at a time, in
     forward AND backward, by construction.
 
-    The dilation must be DATA for the bodies to share one HLO, so the
-    3x3 depthwise conv is expressed as its nine taps on a max-dilation
-    padded input, each tap a ``dynamic_slice`` at offset ``P ± d`` —
-    identical math to ``nn.Conv(feature_group_count=C)`` with zero 'SAME'
-    padding (fp32 accumulation; summation order differs from the conv
-    lowering by at most reassociation).  The pointwise conv is a plain
-    dot.  BN follows flax train semantics exactly (``_bn_train``).
+    The body is a ``lax.switch`` over one closure per STATIC dilation, so
+    each branch's depthwise conv is a real ``lax.conv_general_dilated``
+    (``rhs_dilation`` must be static).  The first scan version expressed
+    the DW conv as nine ``dynamic_slice`` taps on a shared max-dilation
+    padded input instead — measured r5 (tools/profile_train.py, bs1 512²):
+    the tap accumulation plus its transpose (``dynamic_update_slice`` +
+    ``add_any`` cotangent plumbing) made the head backward 753 ms of the
+    1252 ms step, ~9 full-tensor HBM passes per branch each way where the
+    conv form does ~1.  The switch keeps one shared while-loop body
+    (serial by construction, buffers sized by max not sum) with the conv
+    speed.  The pointwise conv is a plain dot.  BN follows flax train
+    semantics exactly (``_bn_train``; conv accumulation is fp32 internal —
+    identical to the ``nn.Conv(feature_group_count=C)`` module path).
+
+    ``MADM_ASPP_SCAN_IMPL`` selects the body (read at trace time):
+
+    - ``taps`` (default): nine ``dynamic_slice`` taps on a shared
+      max-dilation padded input (dilation as data, one closure).  The
+      MEMORY-floor body — fits bs-1 512² AdamW on 16GB (r4 headline) —
+      but its backward's tap-transpose plumbing costs ~753 ms/step (r5
+      trace).
+    - ``conv``: the switch-over-static-dilations conv body above.  ~9x
+      less HBM traffic per branch, but XLA's dilated depthwise conv keeps
+      layout-transformed copies live in the branch backward — measured
+      +1.45G over the 16GB AdamW fit at bs1 512² (fits with adafactor /
+      ``no_momentum``, with ZeRO-1 sharded optimizer state multi-chip, or
+      at smaller crops).
 
     Returns (outs [N,B,H,W,Co] in x.dtype, new running stats {.. [N,C]}).
     """
-    b, h, w, c = x.shape
-    p = max(dilations)
+    import os
 
-    def body(carry, inp):
-        d = inp["d"]
-        # pad INSIDE the body: as a scan-invariant closure the padded
-        # tensor (590 MB at 512^2) was held in 4 concurrent backward
-        # copies (outer-head-remat recompute + cotangent accumulation,
-        # measured in the bs-1 AdamW probe); per-iteration it is transient
-        xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
-        dw_w = inp["dw_kernel"].astype(x.dtype)  # [3,3,1,C]
-        # tap accumulation in the compute dtype: an fp32 accumulator
-        # materializes a 1.0 GB buffer inside the while body at 512^2
-        # (measured); BN statistics are fp32 regardless (_bn_train), and
-        # the bf16 9-term sum differs from the conv lowering's internal
-        # fp32 accumulate by ~1 bf16 ulp — the fp32 tiny-config parity
-        # test is unaffected
-        acc = None
-        for oi in (-1, 0, 1):
-            for oj in (-1, 0, 1):
-                win = jax.lax.dynamic_slice(
-                    xp, (0, p + oi * d, p + oj * d, 0), (b, h, w, c)
-                )
-                term = win * dw_w[oi + 1, oj + 1, 0]
-                acc = term if acc is None else acc + term
-        ydw, dw_mean, dw_var = _bn_train(acc.astype(jnp.float32),
-                                         inp["dw_scale"], inp["dw_bias"],
-                                         eps)
-        ydw = jnp.maximum(ydw, 0.0).astype(x.dtype)
+    b, h, w, c = x.shape
+    impl = os.environ.get("MADM_ASPP_SCAN_IMPL", "taps")
+
+    def tail(acc, inp):
+        dw_mean, dw_var = _bn_stats(acc)
+        ydw = _bn_apply_relu(acc, dw_mean, dw_var,
+                             inp["dw_scale"], inp["dw_bias"], eps)
         pw_w = inp["pw_kernel"][0, 0].astype(x.dtype)  # [C, Co]
         z = jax.lax.dot_general(
             ydw, pw_w, (((3,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=x.dtype,
         )
-        ypw, pw_mean, pw_var = _bn_train(z, inp["pw_scale"], inp["pw_bias"],
-                                         eps)
-        out = jnp.maximum(ypw, 0.0).astype(x.dtype)
-        return carry, {"out": out, "dw_mean": dw_mean, "dw_var": dw_var,
-                       "pw_mean": pw_mean, "pw_var": pw_var}
+        pw_mean, pw_var = _bn_stats(z)
+        out = _bn_apply_relu(z, pw_mean, pw_var,
+                             inp["pw_scale"], inp["pw_bias"], eps)
+        return {"out": out, "dw_mean": dw_mean, "dw_var": dw_var,
+                "pw_mean": pw_mean, "pw_var": pw_var}
 
-    xs = dict(stacked, d=jnp.asarray(dilations, jnp.int32))
+    # TPU depthwise convs use a batch-in-sublanes layout (8 batch rows fill
+    # the 8 sublanes — CLAUDE.md r2 measurement): at b<8 the DW conv runs
+    # at b/8 of the VPU.  Chunk H into n=8//b halo'd row blocks stacked on
+    # the batch axis so the conv sees batch 8 (halo = max dilation, so one
+    # chunking serves every branch).  Measured r5 (bs1 512², adafactor):
+    # head bwd conv 366 ms -> the chunked form runs the same conv at full
+    # sublane fill; the per-iter chunk build is 2 transient full passes.
+    n_chunk = 8 // b if (b < 8 and 8 % b == 0 and h % (8 // b) == 0) else 1
+    p_halo = max(dilations)
+
+    def branch(d: int):
+        def f(inp):
+            dw_w = inp["dw_kernel"].astype(x.dtype)  # [3,3,1,C]
+            if n_chunk > 1:
+                # the WHOLE branch tail runs on the chunked tensor: BN
+                # batch stats over (0,1,2) see the same element multiset
+                # chunked or not, and keeping the 1024-wide tensor only in
+                # its chunked batch-8 form avoids the [1,512,512,1024]
+                # sublane-padded layout copies (2x 1.0G, r5 OOM dump) —
+                # only the Co-wide output (4x smaller) is reassembled.
+                hc = h // n_chunk
+                xp = jnp.pad(x, ((0, 0), (p_halo, p_halo), (0, 0), (0, 0)))
+                xch = jnp.concatenate(
+                    [jax.lax.dynamic_slice(
+                        xp, (0, i * hc, 0, 0), (b, hc + 2 * p_halo, w, c))
+                     for i in range(n_chunk)], axis=0)
+                ych = jax.lax.conv_general_dilated(
+                    xch, dw_w, window_strides=(1, 1),
+                    padding=((0, 0), (d, d)), rhs_dilation=(d, d),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    feature_group_count=c,
+                    preferred_element_type=x.dtype,
+                )  # rows: hc + 2*(p_halo - d)
+                ych = jax.lax.slice_in_dim(
+                    ych, p_halo - d, p_halo - d + hc, axis=1)
+                r = tail(ych, inp)
+                co = r["out"].shape[-1]
+                r["out"] = jnp.transpose(
+                    r["out"].reshape(n_chunk, b, hc, w, co), (1, 0, 2, 3, 4)
+                ).reshape(b, h, w, co)
+                return r
+            acc = jax.lax.conv_general_dilated(
+                x, dw_w, window_strides=(1, 1),
+                padding=((d, d), (d, d)), rhs_dilation=(d, d),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=c,
+                preferred_element_type=x.dtype,
+            )
+            return tail(acc, inp)
+
+        return f
+
+    if impl == "conv":
+        def body(carry, inp):
+            return carry, jax.lax.switch(
+                inp["bi"], [branch(d) for d in dilations], inp
+            )
+
+        xs = dict(stacked, bi=jnp.arange(len(dilations), dtype=jnp.int32))
+    else:
+        p = max(dilations)
+
+        def body(carry, inp):
+            d = inp["d"]
+            # pad INSIDE the body: as a scan-invariant closure the padded
+            # tensor (590 MB at 512^2) was held in 4 concurrent backward
+            # copies; per-iteration it is transient.  Tap accumulation in
+            # the compute dtype (an fp32 accumulator materializes 1.0 GB
+            # in the while body at 512^2, measured r4)
+            xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+            dw_w = inp["dw_kernel"].astype(x.dtype)  # [3,3,1,C]
+            acc = None
+            for oi in (-1, 0, 1):
+                for oj in (-1, 0, 1):
+                    win = jax.lax.dynamic_slice(
+                        xp, (0, p + oi * d, p + oj * d, 0), (b, h, w, c)
+                    )
+                    term = win * dw_w[oi + 1, oj + 1, 0]
+                    acc = term if acc is None else acc + term
+            return carry, tail(acc, inp)
+
+        xs = dict(stacked, d=jnp.asarray(dilations, jnp.int32))
+
     _, ys = jax.lax.scan(jax.checkpoint(body), 0.0, xs)
     return ys.pop("out"), ys
 

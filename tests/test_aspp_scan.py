@@ -24,8 +24,9 @@ def data():
     return m, v, x
 
 
-def _run(m, v, x, scan: bool, monkeypatch):
+def _run(m, v, x, scan: bool, monkeypatch, impl: str = "taps"):
     monkeypatch.setenv("MADM_ASPP_SCAN", "1" if scan else "0")
+    monkeypatch.setenv("MADM_ASPP_SCAN_IMPL", impl)
 
     def loss(params):
         out, mut = m.apply(
@@ -50,10 +51,12 @@ def test_scan_variable_tree_identical(data, monkeypatch):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(pa))
 
 
-def test_scan_matches_module_path(data, monkeypatch):
+@pytest.mark.parametrize("impl", ["taps", "conv"])
+def test_scan_matches_module_path(data, monkeypatch, impl):
     m, v, x = data
     l0, out0, bn0, g0 = _run(m, v, x, scan=False, monkeypatch=monkeypatch)
-    l1, out1, bn1, g1 = _run(m, v, x, scan=True, monkeypatch=monkeypatch)
+    l1, out1, bn1, g1 = _run(m, v, x, scan=True, monkeypatch=monkeypatch,
+                             impl=impl)
     np.testing.assert_allclose(l1, l0, rtol=2e-5)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out0),
                                rtol=2e-4, atol=2e-5)

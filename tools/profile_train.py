@@ -69,6 +69,8 @@ def main():
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--opt", default="adamw")
     ap.add_argument("--mu-dtype", default="bfloat16")
+    ap.add_argument("--no-momentum", action="store_true",
+                    help="adafactor b1=None (matches train_memory_probe)")
     ap.add_argument("--trace-dir", default="/tmp/madm_train_trace")
     args = ap.parse_args()
 
@@ -85,7 +87,9 @@ def main():
     model = MADM(MADMConfig(remat=True))
     variables = model.init_params(jax.random.PRNGKey(0))
     trainable, _ = split_trainable(variables, model.cfg.finetune_unet)
-    tx = make_optimizer(trainable, name=args.opt, mu_dtype=args.mu_dtype)
+    opt_kw = {"b1": None} if args.no_momentum else {}
+    tx = make_optimizer(trainable, name=args.opt, mu_dtype=args.mu_dtype,
+                        **opt_kw)
     state = make_train_state(model, variables, tx)
     step_fn = jax.jit(make_train_step(model, TrainConfig(), tx),
                       donate_argnums=0)
