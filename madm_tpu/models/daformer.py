@@ -237,10 +237,13 @@ def sep_branch_scan(
       trace).
     - ``conv``: the switch-over-static-dilations conv body above.  ~9x
       less HBM traffic per branch, but XLA's dilated depthwise conv keeps
-      layout-transformed copies live in the branch backward — measured
-      +1.45G over the 16GB AdamW fit at bs1 512² (fits with adafactor /
-      ``no_momentum``, with ZeRO-1 sharded optimizer state multi-chip, or
-      at smaller crops).
+      layout-transformed copies live in the branch backward — +1.45G over
+      the 16GB AdamW fit at bs1 512² by the AOT memory report, and the
+      REAL remote compile rejects it for AdamW *and* adafactor-with-
+      momentum (HTTP-500 compile OOM, measured r5 on chip,
+      tools/ab_aspp_scan_impl.py).  Usable with ``no_momentum`` (−1.7G),
+      with ZeRO-1 sharded optimizer state multi-chip, or at smaller
+      crops; the taps body stays the single-chip 512² memory floor.
 
     Returns (outs [N,B,H,W,Co] in x.dtype, new running stats {.. [N,C]}).
     """
