@@ -111,6 +111,24 @@ def _run_legs(res, left):
     if os.environ.get("MADM_ATTENTION"):
         set_default_attention_impl(os.environ["MADM_ATTENTION"])
 
+    # liveness preflight: the tunneled chip can wedge for hours (CLAUDE.md;
+    # trivial ops hang indefinitely).  A tiny op with its own deadline makes
+    # a wedged-chip zero-value artifact self-explaining in the driver log.
+    t_pre = time.monotonic()
+    signal.alarm(max(1, min(int(left()) - 10, 120)))
+    try:
+        float(jnp.ones((8, 8)).sum())
+        print(f"# chip preflight ok ({time.monotonic() - t_pre:.0f}s)",
+              file=sys.stderr)
+    except _BudgetExceeded:
+        print("# CHIP WEDGED: trivial op hung through the preflight deadline "
+              "— known tunneled-TPU failure mode (CLAUDE.md); the zero value "
+              "below reflects chip state, not the code", file=sys.stderr)
+        raise
+    finally:
+        budget_left = max(1, int(left()))
+        signal.alarm(budget_left)
+
     model = MADM(MADMConfig())  # full SD-v1.4, bf16 compute
     variables = model.init_params(jax.random.PRNGKey(0))
     if os.environ.get("MADM_PARAM_DTYPE") == "bfloat16":
