@@ -114,8 +114,10 @@ def _run_legs(res, left):
     # liveness preflight: the tunneled chip can wedge for hours (CLAUDE.md;
     # trivial ops hang indefinitely).  A tiny op with its own deadline makes
     # a wedged-chip zero-value artifact self-explaining in the driver log.
+    # deadline must clear a healthy-but-cold remote compile of the probe op
+    # (~107 s measured on this stack) with margin — 120 s false-alarmed
     t_pre = time.monotonic()
-    signal.alarm(max(1, min(int(left()) - 10, 120)))
+    signal.alarm(max(1, min(int(left()) - 10, 300)))
     try:
         float(jnp.ones((8, 8)).sum())
         print(f"# chip preflight ok ({time.monotonic() - t_pre:.0f}s)",
